@@ -1,0 +1,58 @@
+"""Config system parity: include:, deep merge, dot access, kwargs coercion."""
+
+import yaml
+
+from video_spike_tpu.core.config import (
+    DictConfig,
+    config_from_kwargs,
+    convert_to_dtype,
+    update_config,
+)
+
+
+def test_dot_access_nested():
+    c = DictConfig({"a": {"b": {"c": 3}}})
+    assert c.a.b.c == 3
+    c["a"]["b"]["c"] = 4  # item assignment like the reference entry points
+    assert DictConfig(c["a"]).b.c == 4
+
+
+def test_include_resolution(tmp_path):
+    inner = tmp_path / "inner.yaml"
+    inner.write_text(yaml.safe_dump({"x": 1, "y": {"z": 2}}))
+    outer = tmp_path / "outer.yaml"
+    outer.write_text(yaml.safe_dump({"model": f"include:{inner}", "k": 5}))
+    cfg = update_config(str(outer))
+    assert cfg.model.x == 1
+    assert cfg.model.y.z == 2
+    assert cfg.k == 5
+
+
+def test_deep_merge_overrides_and_creates(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text(yaml.safe_dump({"opt": {"lr": 1e-3, "wd": 0.1}}))
+    cfg = update_config(str(base), {"opt": {"lr": 5e-5}, "new": {"leaf": True}})
+    assert cfg.opt.lr == 5e-5
+    assert cfg.opt.wd == 0.1
+    assert cfg.new.leaf is True
+
+
+def test_kwargs_dotted_and_dtypes():
+    cfg = config_from_kwargs({
+        "model.encoder.dim": "64",
+        "opt.lr": "5e-5",
+        "flag": "true",
+        "nothing": "null",
+        "mods": "[a, 1, 2.5]",
+    })
+    assert cfg.model.encoder.dim == 64
+    assert abs(cfg.opt.lr - 5e-5) < 1e-12
+    assert cfg.flag is True
+    assert cfg.nothing is None
+    assert cfg.mods == ["a", 1, 2.5]
+
+
+def test_convert_to_dtype_negative_int():
+    assert convert_to_dtype("-12") == -12
+    assert isinstance(convert_to_dtype("-12"), int)
+    assert convert_to_dtype("hello") == "hello"
