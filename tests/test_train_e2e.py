@@ -1,0 +1,73 @@
+"""End-to-end supervised training on a synthetic session (CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from video_spike_tpu.core.config import update_config
+from video_spike_tpu.data.synthetic import make_synthetic_session
+
+
+@pytest.fixture(scope="module")
+def tiny_session(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    make_synthetic_session(d, eid="abcde0000", n_trials=20, n_neurons=6,
+                           seed=3, height=32, width=32)
+    return d
+
+
+def test_cli_train_end_to_end(tiny_session, tmp_path):
+    from video_spike_tpu.cli.train import main
+
+    res = main([
+        "--model_config", "configs/model/linear_of-ws.yaml",
+        "--train_config", "configs/train/linear_of-ws.yaml",
+        "--eid", "abcde0000",
+        "--data_dir", str(tiny_session),
+        "--num_epochs", "3",
+        "--batch_size", "8",
+        "--log_dir", str(tmp_path),
+    ])
+    assert res["best_epoch"] >= 0
+    assert np.isfinite(res["best_eval_bps"])
+    assert res["test_res"] is not None
+    # artifact contract: model_best / model_last / test_results.npy
+    log_dir = tmp_path / "abcde" / "wheel-speed_whisker-of" / "LinearModel"
+    assert (log_dir / "model_best").exists()
+    assert (log_dir / "model_last").exists()
+    assert (log_dir / "test_results.npy").exists()
+    saved = np.load(log_dir / "test_results.npy", allow_pickle=True).item()
+    assert "test_res" in saved and "test_bps" in saved["test_res"]
+
+
+def test_trainer_learns(tiny_session, tmp_path):
+    """Loss must drop substantially over epochs on a learnable fixture."""
+    from video_spike_tpu.core.config import config_from_kwargs
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    config = config_from_kwargs(
+        {"model": "include:configs/model/linear_of-ws.yaml"})
+    config = update_config("configs/train/linear_of-ws.yaml", config)
+    config["dirs"]["data_dir"] = str(tiny_session)
+    config["training"]["num_epochs"] = 12
+    config["training"]["train_batch_size"] = 8
+    config["optimizer"]["lr"] = 3e-3  # fast convergence for the test
+
+    split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+    train_dl, val_dl, test_dl = make_loader(config, split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = NAME2MODEL[config.model.model_class].from_config(config.model)
+
+    trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                          eid="abcde0000", dataset_split_dict=split,
+                          log_dir=str(tmp_path))
+    first = trainer.train_epoch()["train_loss"]
+    for _ in range(11):
+        last = trainer.train_epoch()["train_loss"]
+    assert last < first - 0.05, f"no learning: {first} -> {last}"
+    ev = trainer.eval_epoch()
+    assert ev["eval_res"]["eval_bps"] > -1.0

@@ -42,6 +42,9 @@ def _configure_root(level=pylogging.INFO) -> None:
         handlers.append(pylogging.StreamHandler())
         fmt = "%(asctime)s %(levelname)s %(message)s"
     pylogging.basicConfig(level=level, format=fmt, handlers=handlers, force=True)
+    # third-party chatter (orbax prints ~15 INFO lines per checkpoint)
+    for noisy in ("orbax", "absl", "jax._src", "urllib3"):
+        pylogging.getLogger(noisy).setLevel(pylogging.WARNING)
     _CONFIGURED = True
 
 

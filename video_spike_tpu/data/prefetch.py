@@ -1,0 +1,78 @@
+"""Host->HBM streaming: background batch production + double-buffered
+device_put.
+
+The reference decodes mp4s synchronously inside the DataLoader worker and
+pays a blocking H2D copy per batch (``/root/reference/src/loader/base.py:24``,
+``/root/reference/src/utils/utils.py:61-66``). Here a producer thread keeps a
+small queue of host batches while `jax.device_put` (async under the hood)
+stages the next batch into HBM as the current step executes — the TPU never
+waits on tar decode for cached epochs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+_SENTINEL = object()
+
+
+def _producer(it: Iterable, q: "queue.Queue", err: list) -> None:
+    try:
+        for item in it:
+            q.put(item)
+    except BaseException as e:  # propagate to consumer
+        err.append(e)
+    finally:
+        q.put(_SENTINEL)
+
+
+def background(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Run `iterable` in a daemon thread, yielding with `depth` readahead."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err: list = []
+    t = threading.Thread(target=_producer, args=(iterable, q, err), daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def device_put_batch(batch: Dict, sharding=None,
+                     array_keys: Optional[Sequence[str]] = None) -> Dict:
+    """device_put the array entries of a batch dict (strings stay on host)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and (array_keys is None or k in array_keys):
+            out[k] = jax.device_put(v, sharding) if sharding is not None \
+                else jax.device_put(v)
+        else:
+            out[k] = v
+    return out
+
+
+def prefetch_to_device(iterable: Iterable[Dict], sharding=None,
+                       depth: int = 2,
+                       transform: Optional[Callable[[Dict], Dict]] = None
+                       ) -> Iterator[Dict]:
+    """Decode in a background thread and keep `depth` batches staged in HBM.
+
+    `transform` runs on the host thread (e.g. padding to a mesh-divisible
+    batch) before the device transfer.
+    """
+    staged: list = []
+    for batch in background(iterable, depth=depth):
+        if transform is not None:
+            batch = transform(batch)
+        staged.append(device_put_batch(batch, sharding))
+        if len(staged) > depth:
+            yield staged.pop(0)
+    yield from staged

@@ -1,0 +1,332 @@
+"""ViT-MAE (masked autoencoder) and its contrastive wrappers.
+
+Capability parity with the reference stack
+(``/root/reference/src/model/vit_mae/modeling_vit_mae.py`` — vendored HF
+ViT-MAE — and the wrappers in ``vit_mae.py:7-94``):
+
+- patch embedding (conv stride=patch), fixed 2-D sin-cos position embeddings,
+  CLS token;
+- random masking by argsorted uniform noise keeping ``L*(1-mask_ratio)``
+  patches (``modeling_vit_mae.py:269``), with ``ids_restore``;
+- pre-LN transformer encoder; decoder with mask tokens and its own sin-cos
+  table; per-patch pixel regression; masked-patch MSE ``forward_loss``
+  (``modeling_vit_mae.py:1092``), optional ``norm_pix_loss``;
+- wrappers: ``MAE`` (L2-normalized CLS + recon loss), ``ContrastViT``
+  (mask_ratio 0, projection head + learnable temperature, no decoder),
+  ``ContrastViTMAE`` (projection + recon + temperature).
+
+Written TPU-first: bf16 matmuls with f32 layernorms/softmax accumulation,
+static shapes (mask_ratio is an apply-time static argument, so the
+``transform()`` path that forces mask_ratio=0 is just a second jit cache
+entry), gathers instead of boolean indexing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+# ---------------------------------------------------------------------------
+# position embeddings (2-D sin-cos, matching the HF/MAE recipe)
+# ---------------------------------------------------------------------------
+
+def _sincos_1d(dim: int, pos: np.ndarray) -> np.ndarray:
+    omega = np.arange(dim // 2, dtype=np.float64)
+    omega = 1.0 / 10000 ** (omega / (dim / 2.0))
+    out = np.einsum("m,d->md", pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def sincos_pos_embed_2d(dim: int, grid_size: int,
+                        cls_token: bool = True) -> np.ndarray:
+    grid_h = np.arange(grid_size, dtype=np.float64)
+    grid_w = np.arange(grid_size, dtype=np.float64)
+    grid = np.meshgrid(grid_w, grid_h)  # w goes first (HF convention)
+    grid = np.stack(grid, axis=0).reshape(2, -1)
+    emb = np.concatenate(
+        [_sincos_1d(dim // 2, grid[0]), _sincos_1d(dim // 2, grid[1])], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, dim)), emb], axis=0)
+    return emb.astype(np.float32)
+
+
+def sincos_pos_embed_1d(dim: int, length: int) -> np.ndarray:
+    return _sincos_1d(dim, np.arange(length, dtype=np.float64)).astype(
+        np.float32)
+
+
+# ---------------------------------------------------------------------------
+# masking / patchify
+# ---------------------------------------------------------------------------
+
+def random_masking(x: jax.Array, mask_ratio: float, rng: jax.Array):
+    """Keep a random (1-mask_ratio) subset of the sequence.
+
+    Returns (x_masked, mask, ids_restore); mask is 1 where REMOVED
+    (``modeling_vit_mae.py:269-306`` semantics).
+    """
+    B, L, D = x.shape
+    len_keep = int(L * (1 - mask_ratio))
+    noise = jax.random.uniform(rng, (B, L))
+    ids_shuffle = jnp.argsort(noise, axis=1)
+    ids_restore = jnp.argsort(ids_shuffle, axis=1)
+    ids_keep = ids_shuffle[:, :len_keep]
+    x_masked = jnp.take_along_axis(x, ids_keep[:, :, None], axis=1)
+    mask = jnp.ones((B, L))
+    mask = mask.at[:, :len_keep].set(0.0)
+    mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+    return x_masked, mask, ids_restore
+
+
+def patchify(imgs: jax.Array, patch: int) -> jax.Array:
+    """(B, C, H, W) -> (B, L, patch*patch*C), HF channel-last-pixel order."""
+    B, C, H, W = imgs.shape
+    h, w = H // patch, W // patch
+    x = imgs.reshape(B, C, h, patch, w, patch)
+    x = jnp.einsum("nchpwq->nhwpqc", x)
+    return x.reshape(B, h * w, patch * patch * C)
+
+
+def unpatchify(patches: jax.Array, patch: int, channels: int) -> jax.Array:
+    B, L, _ = patches.shape
+    h = w = int(np.sqrt(L))
+    x = patches.reshape(B, h, w, patch, patch, channels)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(B, channels, h * patch, w * patch)
+
+
+# ---------------------------------------------------------------------------
+# transformer blocks
+# ---------------------------------------------------------------------------
+
+class Block(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dtype: Any = jnp.bfloat16
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, dtype=self.dtype, qkv_features=self.hidden,
+            deterministic=True)(y, y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.hidden, dtype=self.dtype)(y)
+        return x + y
+
+
+class Encoder(nn.Module):
+    depth: int
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dtype: Any = jnp.bfloat16
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.depth):
+            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
+                      self.eps)(x)
+        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+
+
+# ---------------------------------------------------------------------------
+# ViT-MAE backbone
+# ---------------------------------------------------------------------------
+
+class ViTMAEBackbone(nn.Module):
+    """Encoder (+ optional decoder) with random masking."""
+
+    image_size: int = 144
+    patch_size: int = 16
+    num_channels: int = 1
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    decoder_hidden_size: int = 512
+    decoder_num_hidden_layers: int = 8
+    decoder_num_attention_heads: int = 16
+    decoder_intermediate_size: int = 2048
+    mask_ratio: float = 0.75
+    norm_pix_loss: bool = False
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    def setup(self):
+        self.patch_embed = nn.Conv(
+            self.hidden_size, kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            dtype=self.dtype, name="patch_embed")
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.hidden_size))
+        self.pos_embed = jnp.asarray(
+            sincos_pos_embed_2d(self.hidden_size, self.grid))
+        self.encoder = Encoder(self.num_hidden_layers, self.hidden_size,
+                               self.num_attention_heads,
+                               self.intermediate_size, self.dtype,
+                               self.layer_norm_eps, name="encoder")
+        # decoder
+        self.decoder_embed = nn.Dense(self.decoder_hidden_size,
+                                      dtype=self.dtype, name="decoder_embed")
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.normal(0.02),
+            (1, 1, self.decoder_hidden_size))
+        self.decoder_pos_embed = jnp.asarray(
+            sincos_pos_embed_2d(self.decoder_hidden_size, self.grid))
+        self.decoder = Encoder(self.decoder_num_hidden_layers,
+                               self.decoder_hidden_size,
+                               self.decoder_num_attention_heads,
+                               self.decoder_intermediate_size, self.dtype,
+                               self.layer_norm_eps, name="decoder")
+        self.decoder_pred = nn.Dense(
+            self.patch_size ** 2 * self.num_channels, dtype=jnp.float32,
+            name="decoder_pred")
+
+    def encode(self, imgs: jax.Array, mask_ratio: float,
+               rng: Optional[jax.Array] = None):
+        """imgs: (B, C, H, W) -> (latent incl. CLS, mask, ids_restore)."""
+        x = jnp.transpose(imgs, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+        x = self.patch_embed(x)
+        B, h, w, D = x.shape
+        x = x.reshape(B, h * w, D)
+        x = x + self.pos_embed[None, 1:].astype(self.dtype)
+        if mask_ratio > 0:
+            if rng is None:
+                rng = self.make_rng("masking")
+            x, mask, ids_restore = random_masking(x, mask_ratio, rng)
+        else:
+            L = x.shape[1]
+            mask = jnp.zeros((B, L))
+            ids_restore = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        cls = (self.cls_token + self.pos_embed[None, :1]).astype(self.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)), x], axis=1)
+        latent = self.encoder(x)
+        return latent, mask, ids_restore
+
+    def decode(self, latent: jax.Array, ids_restore: jax.Array) -> jax.Array:
+        x = self.decoder_embed(latent)
+        B, _, D = x.shape
+        L = ids_restore.shape[1]
+        n_masked = L + 1 - x.shape[1]
+        mask_tokens = jnp.broadcast_to(
+            self.mask_token.astype(x.dtype), (B, n_masked, D))
+        x_ = jnp.concatenate([x[:, 1:], mask_tokens], axis=1)
+        x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x = jnp.concatenate([x[:, :1], x_], axis=1)
+        x = x + self.decoder_pos_embed[None].astype(x.dtype)
+        x = self.decoder(x)
+        return self.decoder_pred(x)[:, 1:]  # drop CLS
+
+    def forward_loss(self, imgs: jax.Array, pred: jax.Array,
+                     mask: jax.Array) -> jax.Array:
+        """Masked-patch MSE (``modeling_vit_mae.py:1092-1117``)."""
+        target = patchify(imgs.astype(jnp.float32), self.patch_size)
+        if self.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            var = target.var(axis=-1, keepdims=True)
+            target = (target - mean) / jnp.sqrt(var + 1e-6)
+        loss = jnp.mean((pred - target) ** 2, axis=-1)
+        return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def __call__(self, imgs: jax.Array, mask_ratio: Optional[float] = None,
+                 rng: Optional[jax.Array] = None):
+        """Full MAE pass -> (cls_latent, recon_loss)
+        (parity with ``vit_mae.py:61-94``)."""
+        ratio = self.mask_ratio if mask_ratio is None else mask_ratio
+        latent, mask, ids_restore = self.encode(imgs, ratio, rng)
+        pred = self.decode(latent, ids_restore)
+        loss = self.forward_loss(imgs, pred, mask)
+        cls_latent = latent[:, 0].astype(jnp.float32)
+        return cls_latent, loss
+
+
+def _backbone_kwargs(config) -> dict:
+    keys = ("image_size", "patch_size", "num_channels", "hidden_size",
+            "num_hidden_layers", "num_attention_heads", "intermediate_size",
+            "decoder_hidden_size", "decoder_num_hidden_layers",
+            "decoder_num_attention_heads", "decoder_intermediate_size",
+            "mask_ratio", "norm_pix_loss", "layer_norm_eps")
+    return {k: config[k] for k in keys if k in config}
+
+
+# ---------------------------------------------------------------------------
+# wrappers (the model-zoo entries)
+# ---------------------------------------------------------------------------
+
+class MAE(nn.Module):
+    """Reconstruction-only wrapper: z = L2-normalized CLS latent
+    (``vit_mae.py:45-58``)."""
+
+    config: Any
+
+    @classmethod
+    def from_config(cls, config) -> "MAE":
+        return cls(config=dict(config))
+
+    @nn.compact
+    def __call__(self, x, mask_ratio: Optional[float] = None) -> Dict:
+        backbone = ViTMAEBackbone(**_backbone_kwargs(self.config),
+                                  name="vit_mae")
+        cls_latent, recon = backbone(x, mask_ratio)
+        z = cls_latent / jnp.linalg.norm(cls_latent, axis=-1, keepdims=True)
+        return {"z": z, "recon_loss": recon}
+
+
+class ContrastViT(nn.Module):
+    """Unmasked encoder + projection head + learnable temperature
+    (``vit_mae.py:26-44``). No decoder runs."""
+
+    config: Any
+
+    @classmethod
+    def from_config(cls, config) -> "ContrastViT":
+        return cls(config=dict(config))
+
+    @nn.compact
+    def __call__(self, x, mask_ratio: Optional[float] = None) -> Dict:
+        cfg = _backbone_kwargs(self.config)
+        cfg["mask_ratio"] = 0.0  # reference forces no masking
+        backbone = ViTMAEBackbone(**cfg, name="vit")
+        latent, _, _ = backbone.encode(x, 0.0)
+        cls_latent = latent[:, 0].astype(jnp.float32)
+        z = nn.Dense(self.config["embed_size"], name="proj")(cls_latent)
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        log_temp = self.param("temperature", nn.initializers.zeros, ())
+        return {"z": z, "temp": 1.0 / jnp.exp(log_temp)}
+
+
+class ContrastViTMAE(nn.Module):
+    """Masked autoencoding + contrastive projection (``vit_mae.py:7-24``)."""
+
+    config: Any
+
+    @classmethod
+    def from_config(cls, config) -> "ContrastViTMAE":
+        return cls(config=dict(config))
+
+    @nn.compact
+    def __call__(self, x, mask_ratio: Optional[float] = None) -> Dict:
+        backbone = ViTMAEBackbone(**_backbone_kwargs(self.config),
+                                  name="vit_mae")
+        cls_latent, recon = backbone(x, mask_ratio)
+        z = nn.Dense(self.config["embed_size"], name="proj")(cls_latent)
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        log_temp = self.param("temperature", nn.initializers.zeros, ())
+        return {"z": z, "recon_loss": recon, "temp": 1.0 / jnp.exp(log_temp)}

@@ -34,10 +34,20 @@ def poisson_nll(log_rates: jax.Array, targets: jax.Array,
     return loss
 
 
-def poisson_nll_mean(log_rates: jax.Array, targets: jax.Array) -> jax.Array:
+def poisson_nll_mean(log_rates: jax.Array, targets: jax.Array,
+                     n_valid_rows: jax.Array | None = None) -> jax.Array:
     """Mean-reduced log-input Poisson NLL — the supervised training loss.
 
     Uses the fused Pallas kernel on TPU when shapes allow, else pure jnp.
+    `n_valid_rows` masks trailing batch rows that are mesh-divisibility
+    padding (the mean is taken over valid elements only).
     """
+    if n_valid_rows is not None:
+        nll = poisson_nll(log_rates, targets)
+        b = log_rates.shape[0]
+        valid = (jnp.arange(b) < n_valid_rows).astype(nll.dtype)
+        valid = valid.reshape((b,) + (1,) * (nll.ndim - 1))
+        per_row = nll.size // b
+        return jnp.sum(nll * valid) / (n_valid_rows * per_row)
     from video_spike_tpu.ops.pallas.poisson_kernel import poisson_nll_mean_fused
     return poisson_nll_mean_fused(log_rates, targets)

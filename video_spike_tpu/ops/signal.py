@@ -53,14 +53,17 @@ def standardize(arr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return (arr - mean) / std, mean, std
 
 
-def one_hot_per_trial(arr, T: int) -> np.ndarray:
+def one_hot_per_trial(arr, T: int, categories=None) -> np.ndarray:
     """Categorical per-trial values -> (K, T, n_categories) indicators.
 
     `arr` is (K,) or (K, 1); unique values are sorted and each becomes a
     channel that is constant across the T timesteps (reference `_one_hot`).
+    Pass `categories` to pin the channel set (e.g. the union across splits,
+    so train/test encodings stay aligned when a split misses a value).
     """
     arr = np.asarray(arr).reshape(len(arr), -1)[:, 0]
-    cats = np.sort(np.unique(arr))
+    cats = np.sort(np.unique(arr)) if categories is None \
+        else np.sort(np.asarray(categories))
     out = np.zeros((len(arr), T, len(cats)))
     for i, c in enumerate(cats):
         out[:, :, i] = (arr == c)[:, None]

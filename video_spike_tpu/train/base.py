@@ -1,0 +1,285 @@
+"""Supervised trainer: epoch loop, Poisson-NLL objective, per-session
+bits-per-spike / R² eval, best-checkpoint selection, test report.
+
+Capability parity with ``/root/reference/src/trainer/base.py:15-291``:
+
+- input assembly concatenates the flattened ``input: true`` modalities for
+  the Linear family, raw video otherwise (``base.py:61-70``);
+- loss = PoissonNLL(log_input) mean (``base.py:141-143``);
+- eval accumulates gt/preds per session, exponentiates the log-rates, and
+  reports nanmean bps + per-trial sklearn R² ("rsquared") (``base.py:161-206``);
+- checkpoints ``model_best`` on best eval bps and ``model_last`` at the end,
+  then reloads best for the test split and writes ``test_results.npy``
+  (``base.py:106-256``).
+
+TPU-first mechanics: a single jitted train step (params donated, batch
+sharded over the mesh ``data`` axis so the gradient all-reduce rides ICI),
+host-threaded decode with double-buffered HBM prefetch, and device-vectorized
+metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_spike_tpu.core.logging import logging as make_logger
+from video_spike_tpu.core.rng import KeySequence
+from video_spike_tpu.data.dataset import input_modalities
+from video_spike_tpu.data.prefetch import background, device_put_batch
+from video_spike_tpu.ops.metrics import metrics_list
+from video_spike_tpu.ops.poisson import poisson_nll_mean
+from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from video_spike_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def make_optimizer(config, total_steps: int):
+    """AdamW + OneCycle cosine schedule (torch OneCycleLR conventions:
+    initial lr = max_lr / div_factor, final = initial / 1e4;
+    ``/root/reference/src/train.py:44-57``)."""
+    opt = config.optimizer
+    # a handful of steps makes the warmup interval round to zero length
+    # inside optax's piecewise interpolation -> nan lr; floor at 16
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 16),
+        peak_value=opt.lr,
+        pct_start=opt.get("warmup_pct", 0.15),
+        div_factor=opt.get("div_factor", 10),
+        final_div_factor=1e4,
+    )
+    tx = optax.adamw(schedule, weight_decay=opt.get("wd", 0.01),
+                     eps=opt.get("eps", 1e-8))
+    return tx, schedule
+
+
+class BaseTrainer:
+    def __init__(self, model, train_loader, eval_loader, test_loader,
+                 config, eid: str, dataset_split_dict: dict,
+                 log_dir: Optional[str] = None, mesh=None,
+                 criterion=poisson_nll_mean, seed: Optional[int] = None):
+        self.model = model
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.test_loader = test_loader
+        self.config = config
+        self.eid = eid
+        self.split = dataset_split_dict
+        self.criterion = criterion
+        self.metrics = ("bps", "rsquared")
+        self.log = make_logger(header="[train]")
+        self.input_mods = input_modalities(config)
+        self.model_class = config.model.model_class
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_shd = batch_sharding(self.mesh)
+        self.repl = replicated(self.mesh)
+
+        base_log_dir = log_dir or config.dirs.log_dir
+        self.log_dir = os.path.join(
+            base_log_dir, eid[:5], "_".join(self.input_mods),
+            type(model).__name__)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        self.keys = KeySequence(seed if seed is not None else config.get("seed", 42))
+        total_steps = (len(dataset_split_dict["train"])
+                       // config.training.train_batch_size
+                       * config.training.num_epochs)
+        self.tx, self.schedule = make_optimizer(config, total_steps)
+
+        self.params = None
+        self.opt_state = None
+        self._step_fn = None
+        self._eval_fn = None
+        self._global_step = 0
+
+    # ------------------------------------------------------------------
+    # input assembly (reference `_forward_model_outputs`)
+    # ------------------------------------------------------------------
+    def _assemble_inputs(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        if self.model_class == "Linear":
+            parts = [np.asarray(batch[mod]).reshape(batch[mod].shape[0], -1)
+                     for mod in self.input_mods]
+            return np.concatenate(parts, axis=-1)
+        return np.asarray(batch["video"])
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _init_if_needed(self, sample_inputs: np.ndarray) -> None:
+        if self.params is not None:
+            return
+        with jax.default_device(jax.devices()[0]):
+            params = self.model.init(self.keys(), jnp.asarray(sample_inputs[:1]))
+        self.params = jax.device_put(params, self.repl)
+        self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        self.log.info(f"initialized {type(self.model).__name__}: "
+                      f"{n_params/1e6:.1f}M params")
+
+        model, tx, criterion = self.model, self.tx, self.criterion
+
+        def train_step(params, opt_state, inputs, ap, n_valid):
+            def loss_fn(p):
+                out = model.apply(p, inputs)
+                return criterion(out, ap, n_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(lambda p, x: model.apply(p, x))
+
+    # ------------------------------------------------------------------
+    # epochs
+    # ------------------------------------------------------------------
+    def _pad_and_put(self, inputs: np.ndarray, ap: np.ndarray):
+        """Pad the batch to a mesh-divisible size; returns device arrays and
+        the valid-row count."""
+        n_data = self.mesh.shape["data"]
+        n = inputs.shape[0]
+        pad = (-n) % n_data
+        if pad:
+            inputs = np.concatenate([inputs, np.repeat(inputs[-1:], pad, 0)], 0)
+            ap = np.concatenate([ap, np.repeat(ap[-1:], pad, 0)], 0)
+        x = jax.device_put(inputs, self.batch_shd)
+        ap_d = jax.device_put(ap, self.batch_shd)
+        return x, ap_d, jnp.float32(n)
+
+    def train_epoch(self) -> dict:
+        losses = []
+        for batch in background(iter(self.train_loader), depth=2):
+            inputs = self._assemble_inputs(batch)
+            self._init_if_needed(inputs)
+            x, ap, n_valid = self._pad_and_put(inputs, np.asarray(batch["ap"]))
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, x, ap, n_valid)
+            losses.append(loss)
+            self._global_step += 1
+        losses = [float(l) for l in losses]
+        return {
+            "train_loss": round(float(np.mean(losses)), 5),
+            "lr": float(self.schedule(self._global_step)),
+        }
+
+    def _run_eval(self, loader, split_eids, phase: str) -> Optional[dict]:
+        if loader is None or loader.num_trials == 0:
+            return None
+        session = {e: {"gt": [], "preds": []} for e in split_eids}
+        losses = []
+        for batch in loader:
+            inputs = self._assemble_inputs(batch)
+            self._init_if_needed(inputs)
+            ap = np.asarray(batch["ap"])
+            x, ap_d, n_valid = self._pad_and_put(inputs, ap)
+            out = self._eval_fn(self.params, x)
+            losses.append(float(poisson_nll_mean(out, ap_d, n_valid)))
+            out = np.asarray(out)[: ap.shape[0]]
+            for i, e in enumerate(batch["eid"]):
+                session[e]["gt"].append(ap[i])
+                session[e]["preds"].append(out[i])
+        gt, preds = {}, {}
+        metric_acc = {k: [] for k in self.metrics}
+        for idx, e in enumerate(split_eids):
+            _gt = np.stack(session[e]["gt"], axis=0)
+            _preds = np.exp(np.stack(session[e]["preds"], axis=0))
+            gt[idx], preds[idx] = _gt, _preds
+            res = metrics_list(np.swapaxes(_gt, 0, -1),
+                               np.swapaxes(_preds, 0, -1),
+                               metrics=self.metrics)
+            for k, v in res.items():
+                metric_acc[k].append(v)
+        named = {f"{phase}_{k}": round(float(np.mean(v)), 5)
+                 for k, v in metric_acc.items()}
+        return {
+            f"{phase}_gt": gt,
+            f"{phase}_preds": preds,
+            f"{phase}_res": {f"{phase}_loss": round(float(np.mean(losses)), 5),
+                             **named},
+        }
+
+    def eval_epoch(self) -> Optional[dict]:
+        return self._run_eval(self.eval_loader, self.split["eid"]["val"], "eval")
+
+    # ------------------------------------------------------------------
+    # full loop
+    # ------------------------------------------------------------------
+    def train(self) -> dict:
+        best_bps = -np.inf
+        best_loss = np.inf
+        best_epoch = -1
+        num_epochs = self.config.training.num_epochs
+        t0 = time.time()
+        for epoch in range(num_epochs):
+            train_res = self.train_epoch()
+            eval_res = self.eval_epoch()
+            line = {"epoch": epoch, **train_res}
+            if eval_res:
+                line.update(eval_res["eval_res"])
+                if eval_res["eval_res"]["eval_bps"] > best_bps:
+                    best_bps = eval_res["eval_res"]["eval_bps"]
+                    best_loss = eval_res["eval_res"]["eval_loss"]
+                    best_epoch = epoch
+                    self.save_model("best", epoch)
+                    self._plot_figs(eval_res, epoch=epoch)
+            self.log.info(f"{line}")
+        self.save_model("last", num_epochs - 1)
+        self.log.info(f"trained {num_epochs} epochs in {time.time()-t0:.1f}s; "
+                      f"best eval_bps={best_bps} @ epoch {best_epoch}")
+
+        test_res = self.test_model()
+        if test_res:
+            self._plot_figs(test_res, test=True)
+            test_res["test_res"].update(best_eval_loss=best_loss,
+                                        best_eval_bps=best_bps)
+            np.save(os.path.join(self.log_dir, "test_results.npy"), test_res)
+            self.log.info(f"{test_res['test_res']}")
+        return {"best_eval_bps": best_bps, "best_epoch": best_epoch,
+                "test_res": (test_res or {}).get("test_res")}
+
+    def test_model(self) -> Optional[dict]:
+        if checkpoint_exists(self.log_dir, "model_best"):
+            restored = load_checkpoint(self.log_dir, "model_best",
+                                       {"params": self.params, "epoch": 0})
+            self.params = jax.device_put(restored["params"], self.repl)
+        return self._run_eval(self.test_loader, self.split["eid"]["test"], "test")
+
+    def save_model(self, name: str = "last", epoch: int = 0) -> None:
+        save_checkpoint(self.log_dir, f"model_{name}",
+                        {"params": jax.device_get(self.params), "epoch": epoch})
+
+    def _plot_figs(self, eval_results: dict, epoch: int = 0,
+                   test: bool = False) -> None:
+        if not self.config.get("save_plot"):
+            return
+        from video_spike_tpu.viz.plots import plot_gt_pred, plot_neurons_r2
+        phase = "test" if test else "eval"
+        tag = "test" if test else str(epoch)
+        gt = eval_results[f"{phase}_gt"][0]
+        preds = eval_results[f"{phase}_preds"][0]
+        fig1 = plot_gt_pred(gt.mean(0).T, preds.mean(0).T, epoch=tag, modality="ap")
+        fig2 = plot_neurons_r2(gt.mean(0), preds.mean(0),
+                               neuron_idx=range(min(5, gt.shape[-1])), epoch=tag)
+        fig1.savefig(os.path.join(self.log_dir, f"best_trial_{tag}.png"))
+        fig2.savefig(os.path.join(self.log_dir, f"best_neuron_{tag}.png"))
+        import matplotlib.pyplot as plt
+        plt.close(fig1)
+        plt.close(fig2)
+
+
+def make_base_trainer(**kwargs) -> BaseTrainer:
+    """Factory, parity with ``/root/reference/src/trainer/make.py:5-18``."""
+    return BaseTrainer(**kwargs)
