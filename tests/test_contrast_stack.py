@@ -1,0 +1,152 @@
+"""Contrastive dataset, SSL trainer, and pretrain/test CLI end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax.numpy as jnp
+
+from video_spike_tpu.data.contrast import (
+    ContrastDataset,
+    device_frame_transform,
+    load_h5_file,
+    make_contrast_loader,
+)
+from video_spike_tpu.data.synthetic import make_synthetic_session
+
+TINY_VIT = dict(
+    model_class="ViT_MAE", image_size=32, patch_size=8, num_channels=1,
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=64, decoder_hidden_size=32,
+    decoder_num_hidden_layers=1, decoder_num_attention_heads=4,
+    decoder_intermediate_size=64, mask_ratio=0.75, norm_pix_loss=False,
+    embed_size=3)
+
+
+@pytest.fixture(scope="module")
+def h5_fixture(tmp_path_factory):
+    """Synthetic session -> create_eid_data whisker-video h5."""
+    d = tmp_path_factory.mktemp("contrast_fix")
+    work = tmp_path_factory.mktemp("contrast_work")
+    make_synthetic_session(d, eid="cafe00000", n_trials=20, n_neurons=8,
+                           seed=7, height=32, width=32)
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        os.makedirs("data", exist_ok=True)
+        with open("data/eid.txt", "w") as f:
+            f.write("cafe00000\n")
+        from video_spike_tpu.cli.create_eid_data import main as create_main
+        repo = cwd
+        create_main([
+            "--model_config", f"{repo}/configs/model/linear_me.yaml",
+            "--train_config", f"{repo}/configs/train/rrr.yaml",
+            "--input_mod", "whisker-video",
+            "--data_dir", str(d),
+        ])
+    finally:
+        os.chdir(cwd)
+    return work / "data" / "data_rrr_whisker-video.h5"
+
+
+def test_h5_layout(h5_fixture):
+    data = load_h5_file(str(h5_fixture), "cafe00000")
+    e = data["cafe00000"]
+    assert e["train_X"].shape == (16, 120, 1, 64, 96)
+    assert e["train_y"].shape == (16, 100, 8)
+    assert e["test_X"].shape[0] == 2 and e["val_X"].shape[0] == 2
+
+
+def test_contrast_dataset_pretrain_sampling(h5_fixture):
+    data = load_h5_file(str(h5_fixture), "cafe00000")
+    ds = ContrastDataset(data["cafe00000"], mode="pretrain", idx_offset=3)
+    assert len(ds) == 20 * 120
+    # timestamps sorted after concat
+    assert np.all(np.diff(ds.timestamp) >= 0)
+    batch = next(ds.iter_batches(16))
+    assert batch["ref"].shape == (16, 1, 64, 96)
+    assert set(batch) == {"ref", "pos", "neg"}
+    # positives within +-idx_offset of ref index, negatives never equal
+    idx = np.arange(100, 116)
+    pos = ds._pos_idx(idx)
+    assert np.all(np.abs(pos - idx) <= 3)
+    neg = ds._neg_idx(idx)
+    assert np.all(neg != idx)
+
+
+def test_contrast_dataset_trial_mode(h5_fixture):
+    data = load_h5_file(str(h5_fixture), "cafe00000")
+    ds = ContrastDataset(data["cafe00000"], mode="val")
+    batch = next(ds.iter_batches(1, shuffle=False))
+    assert batch["ref"].shape == (1, 120, 1, 64, 96)
+    assert batch["neural"].shape == (1, 100, 8)
+
+
+def test_device_frame_transform():
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (4, 1, 64, 96), dtype=np.uint8))
+    out = device_frame_transform(frames, image_size=32)
+    assert out.shape == (4, 1, 32, 32)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+@pytest.mark.parametrize("short,cls", [("cm", "ContrastViTMAE"),
+                                       ("m", "MAE"),
+                                       ("c", "ContrastViT")])
+def test_pretrain_cli_end_to_end(h5_fixture, tmp_path, monkeypatch,
+                                 short, cls):
+    from video_spike_tpu.cli.pretrain import main as pretrain_main
+
+    monkeypatch.chdir(tmp_path)
+    model_cfg = tmp_path / "tiny_vit.yaml"
+    model_cfg.write_text(yaml.safe_dump(TINY_VIT))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    out = pretrain_main([
+        "--h5_path", str(h5_fixture),
+        "--model_config", str(model_cfg),
+        "--train_config", f"{repo}/configs/train/vmae_video.yaml",
+        "--eid", "cafe00000",
+        "--model", short,
+        "--max_steps", "4",
+        "--batch_size", "16",
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert os.path.exists(out)
+    saved = np.load(out, allow_pickle=True).item()
+    emb = saved["cafe00000"]["X"][0]
+    # c/cm project to embed_size; MAE's z is the normalized CLS latent
+    e_dim = TINY_VIT["hidden_size"] if short == "m" else TINY_VIT["embed_size"]
+    assert emb.shape == (16, 120, e_dim)
+    # best checkpoint written by the nested-RRR validation
+    ckpt = tmp_path / "logs" / "cafe00000" / cls / "4" / "best_model"
+    assert ckpt.exists()
+
+
+def test_test_cli(h5_fixture, tmp_path, monkeypatch):
+    """test.py path: restore best checkpoint, embed, RRR, report bps."""
+    from video_spike_tpu.cli.pretrain import main as pretrain_main
+    from video_spike_tpu.cli.test import main as test_main
+
+    monkeypatch.chdir(tmp_path)
+    model_cfg = tmp_path / "tiny_vit.yaml"
+    model_cfg.write_text(yaml.safe_dump(TINY_VIT))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = [
+        "--h5_path", str(h5_fixture),
+        "--model_config", str(model_cfg),
+        "--train_config", f"{repo}/configs/train/vmae_video.yaml",
+        "--eid", "cafe00000",
+        "--model", "c",
+        "--log_dir", str(tmp_path / "logs"),
+    ]
+    pretrain_main(common + ["--max_steps", "2", "--batch_size", "8"])
+    # test.py rebuilds the trainer with max_steps=40000 in its log path;
+    # point it at the pretrain checkpoint by symlinking the step dir
+    src = tmp_path / "logs" / "cafe00000" / "ContrastViT" / "2"
+    dst = tmp_path / "logs" / "cafe00000" / "ContrastViT" / "40000"
+    os.symlink(src, dst)
+    bps = test_main(common)
+    assert len(bps) == 1 and np.isfinite(bps[0])

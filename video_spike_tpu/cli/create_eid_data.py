@@ -36,6 +36,17 @@ def main(argv=None):
     set_seed(config.seed)
 
     input_mod = SHORTNAME_TO_MOD.get(args.input_mod, args.input_mod)
+    # make sure the loaders decode the modalities this extraction reads
+    needed = {"ap", "timestamp", "choice", "block", "wheel-speed",
+              "whisker-motion-energy"}
+    if input_mod in ("whisker-of-video", "of-all"):
+        needed.add("whisker-of-video")
+    if input_mod not in ("all", "other", "of-all"):
+        needed.add(input_mod)
+    for mod in needed:
+        if mod not in config.data.modalities:
+            config["data"]["modalities"][mod] = {
+                "transform": None, "input": False}
     eids = read_eids(args)
 
     train_data = {eid: {"X": [], "y": [], "timestamp": [], "setup": {}}

@@ -1,0 +1,165 @@
+"""Frame-level contrastive dataset over cached whisker-video features.
+
+Capability parity with ``/root/reference/src/loader/contrast.py:9-115`` and
+``load_h5_file`` (``/root/reference/src/utils/dataset_utils.py:7-47``):
+
+- ``pretrain`` mode concatenates the train/val/test splits, flattens trials
+  to frames, sorts by timestamp, and yields ``{ref, pos, neg}`` with the
+  positive drawn uniformly within ±``idx_offset`` frames (or ``time_offset``
+  seconds) and the negative uniformly excluding the reference index;
+- ``train``/``val``/``test`` modes yield per-trial ``{ref, neural}`` pairs.
+
+TPU-first: frames stay uint8 on the host; resize + (x/255 - .5)/.5
+normalization runs on device inside the jitted step
+(:func:`device_frame_transform`), so H2D moves 4x fewer bytes than the
+reference's CPU-side torchvision pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def load_h5_file(file_path: str, eid: Optional[str] = None) -> Dict:
+    """Load the cached whisker-video h5 into per-eid split dicts."""
+    import h5py
+    if isinstance(eid, str):
+        eids = [eid]
+    with h5py.File(file_path, "r") as f:
+        if eid is None:
+            eids = list(f.keys())
+        out = {}
+        for e in eids:
+            grp = f[e]
+            entry = {}
+            for split in ("train", "test", "val"):
+                entry[f"{split}_X"] = grp[f"X_{split}"][()]
+                entry[f"{split}_y"] = grp[f"y_{split}"][()]
+                entry[f"{split}_timestamp"] = grp[f"timestamp_{split}"][()]
+            out[e] = entry
+    return out
+
+
+class ContrastDataset:
+    """Frame dataset with temporal positive sampling."""
+
+    def __init__(self, data_dict: Dict, mode: str,
+                 image_size: int = 144, idx_offset: int = 10,
+                 time_offset: Optional[float] = None, seed: int = 0):
+        assert mode in ("pretrain", "train", "val", "test"), mode
+        self.mode = mode
+        self.image_size = image_size
+        self.idx_offset = idx_offset
+        self.time_offset = time_offset
+        self.rng = np.random.default_rng(seed)
+
+        if mode == "pretrain":
+            video = np.concatenate([data_dict["train_X"], data_dict["val_X"],
+                                    data_dict["test_X"]], axis=0)
+            n, t, c, h, w = video.shape
+            video = video.reshape(n * t, c, h, w)
+            ts = np.concatenate([data_dict["train_timestamp"],
+                                 data_dict["val_timestamp"],
+                                 data_dict["test_timestamp"]],
+                                axis=0).reshape(-1)
+            order = np.argsort(ts)
+            self.video = np.ascontiguousarray(video[order])
+            self.timestamp = ts[order]
+            self.labels = None
+        else:
+            self.video = np.asarray(data_dict[f"{mode}_X"])
+            self.labels = np.asarray(data_dict[f"{mode}_y"])
+            self.timestamp = np.asarray(data_dict[f"{mode}_timestamp"])
+        self.num_frames = self.video.shape[0]
+
+    def __len__(self) -> int:
+        return len(self.video)
+
+    # -- index sampling (reference `_select_pos_idx` / `_select_neg_idx`) ---
+    def _pos_idx(self, idx: np.ndarray) -> np.ndarray:
+        if self.time_offset is None:
+            start = np.maximum(0, idx - self.idx_offset)
+            end = np.minimum(self.num_frames, idx + self.idx_offset + 1)
+            return self.rng.uniform(start, end).astype(np.int64)
+        ts = self.timestamp
+        out = np.empty_like(idx)
+        for i, j in enumerate(idx):
+            valid = np.where(np.abs(ts - ts[j]) <= self.time_offset)[0]
+            out[i] = self.rng.choice(valid) if valid.size else j
+        return out
+
+    def _neg_idx(self, idx: np.ndarray) -> np.ndarray:
+        neg = self.rng.integers(0, self.num_frames, size=idx.shape)
+        clash = neg == idx
+        while np.any(clash):
+            neg[clash] = self.rng.integers(0, self.num_frames,
+                                           size=int(clash.sum()))
+            clash = neg == idx
+        return neg
+
+    # -- batching ------------------------------------------------------------
+    def iter_batches(self, batch_size: int,
+                     shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s:s + batch_size]
+            if self.mode == "pretrain":
+                yield {
+                    "ref": self.video[idx],
+                    "pos": self.video[self._pos_idx(idx)],
+                    "neg": self.video[self._neg_idx(idx)],
+                }
+            else:
+                yield {"ref": self.video[idx], "neural": self.labels[idx]}
+
+
+def make_contrast_loader(dataset_path: str, mode: str = "pretrain",
+                         eid: Optional[str] = None, batch_size: int = 512,
+                         shuffle: bool = True, idx_offset: int = 4,
+                         time_offset: Optional[float] = None,
+                         image_size: int = 144, seed: int = 0):
+    """(loader, 1) factory; parity with ``/root/reference/src/loader/
+    make.py:33-59``. The loader is a lightweight re-iterable view."""
+    data = load_h5_file(dataset_path, eid)
+    key = eid if eid is not None else next(iter(data))
+    dataset = ContrastDataset(data[key], mode=mode, image_size=image_size,
+                              idx_offset=idx_offset, time_offset=time_offset,
+                              seed=seed)
+
+    class _Loader:
+        def __init__(self, ds):
+            self.dataset = ds
+            self.batch_size = batch_size
+
+        def __iter__(self):
+            return dataset.iter_batches(batch_size, shuffle=shuffle)
+
+        def __len__(self):
+            return (len(dataset) + batch_size - 1) // batch_size
+
+    return _Loader(dataset), 1
+
+
+def device_frame_transform(frames: jax.Array, image_size: int = 144,
+                           normalize: bool = True) -> jax.Array:
+    """uint8 (B, C, H, W) frames -> resized, normalized f32 on device.
+
+    Equivalent of the reference's torchvision Resize(144) +
+    Normalize(0.5, 0.5) on /255 inputs (``/root/reference/src/
+    pretrain.py:60-66``), fused into the jitted step.
+    """
+    x = frames.astype(jnp.float32) / 255.0
+    b, c, h, w = x.shape
+    if (h, w) != (image_size, image_size):
+        x = jax.image.resize(x, (b, c, image_size, image_size),
+                             method="linear")
+    if normalize:
+        x = (x - 0.5) / 0.5
+    return x

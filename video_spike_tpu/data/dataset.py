@@ -84,7 +84,7 @@ class SessionDataset:
                  shuffle: bool = False, seed: int = 0,
                  modalities: Optional[Sequence[str]] = None,
                  cache: bool = True, num_workers: int = 8,
-                 drop_last: bool = False):
+                 drop_last: bool = False, io_backend: str = "auto"):
         self.files = list(files)
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -93,8 +93,10 @@ class SessionDataset:
         self.cache = cache
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.io_backend = io_backend
         self._cache: Dict[str, dict] = {}
         self._epoch = 0
+        self._native_reader = None
 
     def __len__(self) -> int:
         n = len(self.files)
@@ -126,20 +128,58 @@ class SessionDataset:
                 out[k] = v
         return out
 
+    def _iter_samples(self, order) -> Iterator[dict]:
+        """Yield decoded samples following `order`, streaming uncached
+        shards through the native (C++ threaded) reader when available."""
+        use_native = self.io_backend in ("auto", "native")
+        uncached = ([p for p in order if p not in self._cache]
+                    if self.cache else list(order))
+        native_gen = None
+        if use_native and uncached:
+            try:
+                from video_spike_tpu.data.native_io import (
+                    NativeShardReader, native_available, parse_tar_blob)
+                if native_available():
+                    if self._native_reader is None:
+                        self._native_reader = NativeShardReader(
+                            uncached, n_workers=self.num_workers)
+                    else:
+                        self._native_reader.reset(uncached)
+                    native_gen = iter(self._native_reader)
+                    self._parse_blob = parse_tar_blob
+            except Exception:
+                if self.io_backend == "native":
+                    raise
+                native_gen = None
+        if native_gen is not None:
+            for path in order:
+                if self.cache and path in self._cache:
+                    yield self._cache[path]
+                    continue
+                blob_path, blob = next(native_gen)
+                assert blob_path == path, (blob_path, path)
+                sample = self._select(self._parse_blob(blob))
+                if self.cache:
+                    self._cache[path] = sample
+                yield sample
+        else:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                yield from pool.map(self._load, order)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = list(self.files)
         if self.shuffle:
             random.Random(self.seed + self._epoch).shuffle(order)
             self._epoch += 1
         bs = self.batch_size
-        n_full = len(order) // bs
-        batches = [order[i * bs:(i + 1) * bs] for i in range(n_full)]
-        if not self.drop_last and len(order) % bs:
-            batches.append(order[n_full * bs:])
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for batch_files in batches:
-                samples = list(pool.map(self._load, batch_files))
-                yield _collate(samples)
+        batch: list = []
+        for sample in self._iter_samples(order):
+            batch.append(sample)
+            if len(batch) == bs:
+                yield _collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield _collate(batch)
 
 
 def make_loader(config, dataset_split_dict, seed: Optional[int] = None):

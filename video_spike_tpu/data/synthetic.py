@@ -51,6 +51,78 @@ def _render_frames(latent: np.ndarray, h: int, w: int,
     return np.clip(frames, 0, 255).astype(np.uint8)
 
 
+def make_raw_session(out_path: str | Path, eid: str = "rawsess000",
+                     n_trials: int = 10, n_neurons: int = 16,
+                     seed: int = 0, height: int = 64, width: int = 64) -> str:
+    """Write a synthetic RAW session (pre-ETL) npz: session-wide spike
+    times/clusters, behavior time series at native rates, DLC traces, trial
+    table, and camera video — the local-mode input to ``cli.prepare_data``.
+    """
+    rng = np.random.default_rng(seed)
+    trial_len, gap = 2.0, 1.0
+    session_len = n_trials * (trial_len + gap) + gap
+    trial_starts = gap + np.arange(n_trials) * (trial_len + gap)
+
+    # session-wide latent at 60 Hz driving everything
+    n_cam = int(session_len * 60)
+    latent = _smooth_latent(rng, n_cam)
+    cam_times = np.arange(n_cam) / 60.0
+
+    # spikes: inhomogeneous Poisson per neuron from the latent
+    w_lat = rng.normal(scale=1.0, size=(2, n_neurons))
+    b = rng.uniform(-1.5, -0.5, size=(n_neurons,))
+    rates = np.exp(latent @ w_lat + b) * 60.0  # per-frame rate -> Hz-ish
+    spike_times, spike_clusters = [], []
+    for n in range(n_neurons):
+        counts = rng.poisson(rates[:, n] / 60.0)
+        for t_idx in np.where(counts > 0)[0]:
+            k = counts[t_idx]
+            spike_times.append(cam_times[t_idx]
+                               + rng.uniform(0, 1 / 60.0, size=k))
+            spike_clusters.append(np.full(k, n))
+    spike_times = np.concatenate(spike_times)
+    spike_clusters = np.concatenate(spike_clusters).astype(np.int64)
+    order = np.argsort(spike_times)
+    spike_times, spike_clusters = spike_times[order], spike_clusters[order]
+
+    # behaviors at native rates
+    wheel = np.abs(latent[:, 1])
+    me = 0.5 + 0.5 * latent[:, 0]
+
+    # DLC traces (static-ish nose/pupil with high likelihood)
+    n_frames = n_cam
+    dlc = {
+        "nose_tip_x": 20 + rng.normal(0, 0.5, n_frames),
+        "nose_tip_y": 40 + rng.normal(0, 0.5, n_frames),
+        "nose_tip_likelihood": np.full(n_frames, 0.99),
+        "pupil_top_r_x": 44 + rng.normal(0, 0.5, n_frames),
+        "pupil_top_r_y": 22 + rng.normal(0, 0.5, n_frames),
+        "pupil_top_r_likelihood": np.full(n_frames, 0.99),
+    }
+
+    video = _render_frames(latent, height, width, rng)
+
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        out_path,
+        eid=eid,
+        spike_times=spike_times,
+        spike_clusters=spike_clusters,
+        trial_starts=trial_starts,
+        trial_choice=rng.choice([-1.0, 1.0], n_trials),
+        trial_block=rng.choice([0.2, 0.5, 0.8], n_trials),
+        cam_times=cam_times,
+        wheel_times=cam_times,
+        wheel_speed=wheel,
+        me_times=cam_times,
+        whisker_motion_energy=me,
+        video=video,
+        **{f"dlc_{k}": v for k, v in dlc.items()},
+    )
+    return str(out_path)
+
+
 def make_synthetic_session(out_dir: str | Path, eid: str = "testeid000",
                            n_trials: int = 30, n_neurons: int = 48,
                            seed: int = 0, store_video_as: str = "npy",

@@ -1,0 +1,236 @@
+"""Self-supervised (contrastive / masked-autoencoding) trainer.
+
+Capability parity with ``/root/reference/src/trainer/contrast.py:10-246``:
+
+- step-based ``fit()`` to ``max_steps`` over the frame loader;
+- each step forwards the (ref, pos, neg) triplet and applies the
+  ``loss_fn_`` dispatch (InfoNCE / +recon / MAE-only);
+- after every pass over the loader, ``_validate()`` embeds the train and val
+  trial loaders, subsamples 100 of the 119 frame steps, fits a *nested RRR
+  model on the embeddings* and reports ``val_bps``, checkpointing
+  ``best_model`` on improvement (``contrast.py:129-162``);
+- ``transform()`` embeds a loader with the mask ratio forced to 0
+  (``contrast.py:164-206``).
+
+TPU-first mechanics: the triplet is stacked into one (3B, ...) forward so
+the encoder runs a single large MXU batch instead of three small ones;
+uint8 frames are resized/normalized on device; the nested RRR validation is
+the jitted LBFGS fit from :mod:`video_spike_tpu.train.rrr_pipeline` instead
+of a torch LBFGS rebuild per validation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_spike_tpu.core.logging import logging as make_logger
+from video_spike_tpu.data.contrast import device_frame_transform
+from video_spike_tpu.data.prefetch import background
+from video_spike_tpu.ops.contrastive import loss_fn_
+from video_spike_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+from video_spike_tpu.train.rrr_pipeline import train_rrr
+
+
+class ContrastTrainer:
+    def __init__(self, model, data_loader, optimizer_config=None, *,
+                 val_data_loader=None, train_data_loader=None,
+                 max_steps: int = 1000, criterion=loss_fn_,
+                 eid: str = "", log_dir: str = "logs",
+                 image_size: int = 144, seed: int = 42, log=None,
+                 subsample_seed_parity: bool = True):
+        self.model = model
+        self.data_loader = data_loader
+        self.val_data_loader = val_data_loader
+        self.train_data_loader = train_data_loader
+        self.max_steps = max_steps
+        self.criterion = criterion
+        self.eid = eid
+        self.image_size = image_size
+        self.model_name = type(model).__name__
+        self.log = log or make_logger(header="[ssl]")
+        self.log_dir = os.path.join(log_dir, eid, self.model_name,
+                                    str(max_steps))
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        opt = optimizer_config or {}
+        self.tx = optax.adamw(opt.get("lr", 1e-4),
+                              weight_decay=opt.get("wd", 0.01),
+                              eps=opt.get("eps", 1e-8))
+        self._key = jax.random.PRNGKey(seed)
+        self._step_count = 0
+        self.params = None
+        self.opt_state = None
+        self._train_step = None
+        self._embed_fn = None
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self._step_count += 1
+        return jax.random.fold_in(self._key, self._step_count)
+
+    def _init_if_needed(self, frames: np.ndarray) -> None:
+        if self.params is None:
+            x = device_frame_transform(jnp.asarray(frames[:1]),
+                                       self.image_size)
+            self.params = self.model.init(
+                {"params": self._key, "masking": self._key}, x)
+            self.opt_state = self.tx.init(self.params)
+            n = sum(int(np.prod(p.shape))
+                    for p in jax.tree.leaves(self.params))
+            self.log.info(f"{self.model_name}: {n/1e6:.1f}M params, "
+                          f"max_steps={self.max_steps}")
+        if self._train_step is not None:
+            return
+
+        model, tx, criterion = self.model, self.tx, self.criterion
+        image_size, is_mae = self.image_size, self.model_name == "MAE"
+
+        def train_step(params, opt_state, triplet, key):
+            def loss_fn(p):
+                x = device_frame_transform(triplet, image_size)
+                if is_mae:
+                    out = model.apply(p, x, rngs={"masking": key})
+                    return criterion(out, None, None)["loss"], {}
+                b = x.shape[0] // 3
+                out = model.apply(p, x, rngs={"masking": key})
+                ref, pos, neg = (jax.tree.map(lambda v: v[i * b:(i + 1) * b]
+                                              if v.ndim > 0 else v, out)
+                                 for i in range(3))
+                loss_dict = criterion(ref, pos, neg)
+                aux = {k: v for k, v in loss_dict.items() if k != "loss"}
+                if "temp" in ref:
+                    aux["temperature"] = ref["temp"]
+                return loss_dict["loss"], aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._embed_fn = jax.jit(
+            lambda p, frames: model.apply(
+                p, device_frame_transform(frames, image_size),
+                mask_ratio=0.0))
+
+    # ------------------------------------------------------------------
+    def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Dict:
+        self._init_if_needed(batch["ref"])
+        if self.model_name == "MAE":
+            trip = np.asarray(batch["ref"])
+        else:
+            trip = np.concatenate([batch["ref"], batch["pos"], batch["neg"]],
+                                  axis=0)
+        self.params, self.opt_state, loss, aux = self._train_step(
+            self.params, self.opt_state, jnp.asarray(trip), self._next_key())
+        out = {"cur_step": cur_step, "loss": float(loss)}
+        out.update({k: float(v) for k, v in aux.items()})
+        return out
+
+    def fit(self) -> float:
+        self.log.info("Starting fitting!")
+        current_step = 0
+        best_bps = -np.inf
+        start = time.time()
+        while current_step < self.max_steps:
+            for batch in background(iter(self.data_loader), depth=2):
+                logs = self._step(batch, current_step)
+                if current_step % 50 == 0:
+                    self.log.info(f"{logs}")
+                current_step += 1
+                if current_step >= self.max_steps:
+                    break
+            val = self._validate()
+            self.log.info(f"{val}")
+            if val["val_bps"] > best_bps:
+                best_bps = val["val_bps"]
+                self.log.info(f"Best val bps: {best_bps}")
+                self._save_model("best_model")
+        self.log.info(f"Training took: {time.time()-start:.1f} seconds")
+        return best_bps
+
+    # ------------------------------------------------------------------
+    def _validate(self) -> Dict:
+        train_emb, train_y = self.transform(self.train_data_loader,
+                                            return_neural=True)
+        val_emb, val_y = self.transform(self.val_data_loader,
+                                        return_neural=True)
+        train_n, val_n = train_y.shape[0], val_y.shape[0]
+        e_dim = train_emb.shape[-1]
+        train_emb = train_emb.reshape(train_n, -1, e_dim)
+        val_emb = val_emb.reshape(val_n, -1, e_dim)
+        t_frames = train_emb.shape[1]
+        n_keep = min(100, t_frames)
+        idx = np.sort(np.random.choice(max(t_frames - 1, n_keep), n_keep,
+                                       replace=False))
+        data_dict = {self.eid: {
+            "X": [train_emb[:, idx], val_emb[:, idx]],
+            "y": [train_y, val_y],
+            "setup": {},
+        }}
+        rrr_result = train_rrr(data_dict)
+        val_bps = float(np.nanmean(rrr_result[self.eid]["bps"]))
+        return {"val_bps": val_bps}
+
+    def transform(self, data_loader, use_best: bool = False,
+                  return_neural: bool = False):
+        """Embed every frame of a (trial-level) loader with mask_ratio=0."""
+        if use_best:
+            self._load_model("best_model")
+        feats, neurals = [], []
+        for batch in data_loader:
+            ref = np.asarray(batch["ref"])
+            if ref.ndim == 5:  # (B, T, C, H, W) trial batch -> frame batch
+                b, t = ref.shape[:2]
+                ref = ref.reshape(b * t, *ref.shape[2:])
+            self._init_if_needed(ref)
+            out = self._embed_fn(self.params, jnp.asarray(ref))
+            if "z" not in out:
+                raise KeyError("No embedding found in the model output!")
+            feats.append(np.asarray(out["z"]))
+            if "neural" in batch:
+                neurals.append(np.asarray(batch["neural"]))
+        feats = np.concatenate(feats, axis=0)
+        if return_neural:
+            neurals = np.concatenate(neurals, axis=0)
+            if neurals.ndim == 4:  # (B, 1?, T, N) guard
+                neurals = neurals.reshape(-1, *neurals.shape[-2:])
+            return feats, neurals
+        return feats
+
+    # ------------------------------------------------------------------
+    def _save_model(self, name: str) -> None:
+        try:
+            save_checkpoint(self.log_dir, name,
+                            {"params": jax.device_get(self.params)})
+        except Exception as e:  # keep training on checkpoint failure
+            self.log.error(f"Error saving the model: {e}")
+
+    def _load_model(self, name: str) -> bool:
+        if not checkpoint_exists(self.log_dir, name):
+            self.log.warning(f"Path does not exist: "
+                             f"{os.path.join(self.log_dir, name)}")
+            return False
+        target = {"params": self.params} if self.params is not None else None
+        restored = load_checkpoint(self.log_dir, name, target)
+        self.params = restored["params"]
+        if self.opt_state is None:
+            self.opt_state = self.tx.init(self.params)
+        return True
+
+
+def make_contrast_trainer(**kwargs) -> ContrastTrainer:
+    """Factory, parity with ``/root/reference/src/trainer/make.py:20-33``."""
+    return ContrastTrainer(**kwargs)
