@@ -55,7 +55,9 @@ def main() -> None:
     def train_step(params, opt_state, video, ap):
         def loss_fn(p):
             x = video.astype(jnp.bfloat16).reshape(video.shape[0], -1)
-            return poisson_nll_mean(model.apply(p, x), ap)
+            # spike counts travel as uint8 (20 ms bins never overflow it)
+            return poisson_nll_mean(model.apply(p, x),
+                                    ap.astype(jnp.float32))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -64,37 +66,28 @@ def main() -> None:
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
-    # host-side batch source: uint8 video + spike targets (pre-generated so
-    # the measurement sees transfer + compute, not synthetic-data generation)
+    # host-side batch source: uint8 video + uint8 spike targets
+    # (pre-generated so the measurement sees transfer + compute only)
     n_distinct = 8
     host_videos = [rng.integers(0, 255, (BATCH, T_FRAMES, 1, H, W),
                                 dtype=np.uint8) for _ in range(n_distinct)]
-    host_aps = [rng.poisson(1.0, (BATCH, 100, N_NEURONS)).astype(np.float32)
+    host_aps = [rng.poisson(1.0, (BATCH, 100, N_NEURONS)).astype(np.uint8)
                 for _ in range(n_distinct)]
 
-    def batches(n):
+    def put_batches(n):
+        # device_put runs in the producer thread via background(), so the
+        # host->HBM copy of batch k+1 overlaps the step on batch k
         for i in range(n):
-            yield host_videos[i % n_distinct], host_aps[i % n_distinct]
-
-    def put(pair):
-        v, a = pair
-        return jax.device_put(v), jax.device_put(a)
+            yield (jax.device_put(host_videos[i % n_distinct]),
+                   jax.device_put(host_aps[i % n_distinct]))
 
     # warmup (compile)
-    for v, a in batches(WARMUP_STEPS):
-        params, opt_state, loss = step(params, opt_state, *put((v, a)))
+    for v, a in put_batches(WARMUP_STEPS):
+        params, opt_state, loss = step(params, opt_state, v, a)
     jax.block_until_ready(loss)
 
-    # measure with double-buffered prefetch
-    staged = []
     t0 = time.perf_counter()
-    for pair in background(batches(MEASURE_STEPS), depth=2):
-        staged.append(put(pair))
-        if len(staged) > 2:
-            v, a = staged.pop(0)
-            params, opt_state, loss = step(params, opt_state, v, a)
-    while staged:
-        v, a = staged.pop(0)
+    for v, a in background(put_batches(MEASURE_STEPS), depth=3):
         params, opt_state, loss = step(params, opt_state, v, a)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0

@@ -1,0 +1,94 @@
+"""VTT flagship + multi-session sharded trainer on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_spike_tpu.data.synthetic import make_synthetic_session
+from video_spike_tpu.models.vtt import VideoTemporalTransformer, time_resample_init
+from video_spike_tpu.train.multisession import masked_poisson_nll
+
+TINY = dict(n_sessions=2, max_neurons=10, t_frames=12, t_bins=10,
+            patch_size=8, hidden_size=32, frame_depth=1, temporal_depth=1,
+            num_attention_heads=4, intermediate_size=64)
+
+
+def test_time_resample_matrix():
+    M = time_resample_init(120, 100)
+    assert M.shape == (120, 100)
+    np.testing.assert_allclose(M.sum(axis=0), 1.0, rtol=1e-6)
+    # resampling a linear ramp is exact
+    ramp = np.arange(120, dtype=np.float32)
+    out = ramp @ M
+    np.testing.assert_allclose(out, np.linspace(0, 119, 100), atol=1e-4)
+
+
+def test_vtt_forward_shapes(rng):
+    model = VideoTemporalTransformer.from_config(TINY)
+    video = jnp.asarray(rng.integers(0, 255, (3, 12, 1, 32, 32))
+                        .astype(np.uint8))
+    sids = jnp.asarray([0, 1, 0], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), video, sids)
+    out = model.apply(params, video, sids)
+    assert out.shape == (3, 10, 10)
+    # different sessions use different heads
+    out0 = model.apply(params, video, jnp.zeros(3, jnp.int32))
+    out1 = model.apply(params, video, jnp.ones(3, jnp.int32))
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_masked_poisson_nll(rng):
+    x = jnp.asarray(rng.normal(size=(4, 10, 6)).astype(np.float32))
+    t = jnp.asarray(rng.poisson(1.0, (4, 10, 6)).astype(np.float32))
+    full_mask = jnp.ones((4, 6))
+    loss_full = masked_poisson_nll(x, t, full_mask, jnp.float32(4))
+    ref = float(jnp.mean(jnp.exp(x) - t * x))
+    assert np.isclose(float(loss_full), ref, rtol=1e-6)
+    # masking neurons 3: changes the loss to the mean over valid only
+    nmask = full_mask.at[:, 3:].set(0.0)
+    loss_masked = masked_poisson_nll(x, t, nmask, jnp.float32(4))
+    ref_masked = float(jnp.mean((jnp.exp(x) - t * x)[:, :, :3]))
+    assert np.isclose(float(loss_masked), ref_masked, rtol=1e-6)
+    # masked rows drop out
+    loss_rows = masked_poisson_nll(x, t, full_mask, jnp.float32(2))
+    ref_rows = float(jnp.mean((jnp.exp(x) - t * x)[:2]))
+    assert np.isclose(float(loss_rows), ref_rows, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def two_sessions(tmp_path_factory):
+    d = tmp_path_factory.mktemp("multi")
+    make_synthetic_session(d, eid="sessa0000", n_trials=12, n_neurons=6,
+                           seed=20, height=32, width=32)
+    make_synthetic_session(d, eid="sessb0000", n_trials=12, n_neurons=9,
+                           seed=21, height=32, width=32)
+    return d
+
+
+def test_multisession_cli_end_to_end(two_sessions, tmp_path, monkeypatch):
+    import yaml
+    from video_spike_tpu.cli.train import main
+
+    model_cfg = tmp_path / "vtt_tiny.yaml"
+    model_cfg.write_text(yaml.safe_dump({
+        "model_class": "VideoTransformer", "t_frames": 120, "t_bins": 100,
+        "patch_size": 8, "hidden_size": 32, "frame_depth": 1,
+        "temporal_depth": 1, "num_attention_heads": 4,
+        "intermediate_size": 64}))
+    res = main([
+        "--model_config", str(model_cfg),
+        "--train_config", "configs/train/vtt_video.yaml",
+        "--eid", "sessa0000,sessb0000",
+        "--data_dir", str(two_sessions),
+        "--num_epochs", "2",
+        "--batch_size", "4",
+        "--log_dir", str(tmp_path / "logs"),
+    ])
+    assert np.isfinite(res["best_eval_bps"])
+    test = res["test"]
+    assert set(test["per_session"]) == {"sessa0000", "sessb0000"}
+    log_dir = tmp_path / "logs" / "multi_sessa_sessb"
+    assert (log_dir / "model_best").exists()
+    assert (log_dir / "test_results.npy").exists()

@@ -41,6 +41,11 @@ def main(argv=None):
         config["training"]["train_batch_size"] = args.batch_size
 
     set_seed(config.seed)
+
+    # multi-session flagship path: --eid all (data/eid.txt) or comma list
+    if args.eid == "all" or "," in args.eid:
+        return _train_multisession(args, config, log)
+
     split = split_dataset(config.dirs.data_dir, eid=args.eid,
                           seed=config.seed)
     if not split["train"]:
@@ -65,6 +70,34 @@ def main(argv=None):
         dataset_split_dict=split,
         log_dir=args.log_dir,
     )
+    if args.resume:
+        trainer.resume()
+    return trainer.train()
+
+
+def _train_multisession(args, config, log):
+    from pathlib import Path
+
+    from video_spike_tpu.train.multisession import MultiSessionTrainer
+
+    if args.eid == "all":
+        eids = [l.strip() for l in Path("data/eid.txt").read_text()
+                .splitlines() if l.strip()]
+    else:
+        eids = [e for e in args.eid.split(",") if e]
+    log.info(f"multi-session training over {len(eids)} sessions")
+
+    trainer = MultiSessionTrainer(
+        model=None, config=config, eids=eids,
+        data_dir=config.dirs.data_dir, log_dir=args.log_dir,
+        seed=config.seed)
+    # size the model from the probed sessions, then build it
+    model_cfg = dict(config.model)
+    model_cfg["n_sessions"] = len(eids)
+    model_cfg["max_neurons"] = trainer.max_neurons
+    model_ctor = NAME2MODEL[config.model.get("model_class",
+                                             "VideoTransformer")]
+    trainer.model = model_ctor.from_config(model_cfg)
     return trainer.train()
 
 

@@ -36,6 +36,8 @@ def get_args(argv=None) -> argparse.Namespace:
                         help="Override training.num_epochs")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Override SSL max steps")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from model_last (params+optimizer+epoch)")
     parser.add_argument("--batch_size", type=int, default=None,
                         help="Override training.train_batch_size")
     return parser.parse_args(argv)

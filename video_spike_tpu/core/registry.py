@@ -18,6 +18,9 @@ _LAZY: Dict[str, str] = {
     "ContrastViT": "video_spike_tpu.models.vit_mae:ContrastViT",
     "ContrastViTMAE": "video_spike_tpu.models.vit_mae:ContrastViTMAE",
     "MAE": "video_spike_tpu.models.vit_mae:MAE",
+    "VideoTransformer": "video_spike_tpu.models.vtt:VideoTemporalTransformer",
+    "VideoMAEForPreTraining":
+        "video_spike_tpu.models.videomae:VideoMAEForPreTraining",
 }
 
 _REGISTRY: Dict[str, Callable] = {}

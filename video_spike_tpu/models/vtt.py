@@ -1,0 +1,143 @@
+"""Video Temporal Transformer (VTT): end-to-end video -> spike model with
+multi-session heads.
+
+This is the framework's flagship (BASELINE.json config 5: "end-to-end video
+encoder + temporal transformer spike model, multi-session sharded") — the
+capability the reference approximates with the frozen VideoMAE probe
+(``/root/reference/src/model/videomae.py``) but trained end-to-end:
+
+- a shared per-frame patch encoder (factorized ViViT-style: spatial
+  attention within each frame, batched as (B*T, tokens, D) so the MXU sees
+  one large matmul per layer);
+- a temporal transformer over the (B, T=120, D) frame embeddings;
+- a learned time-resampling from the 120 camera frames to the 100 spike
+  bins (einsum with a (T_frames, T_bins) matrix initialized to linear
+  interpolation);
+- per-session readout heads stored as a stacked (S, D, N_max) tensor with a
+  per-sample gather, so sessions with different neuron counts train in the
+  same sharded batch (pad to ``max_space_length`` and mask the loss).
+
+Sharding: batch over the mesh ``data`` axis; the stacked session heads and
+the MLP widths shard naturally over ``model``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from video_spike_tpu.models.vit_mae import Block, sincos_pos_embed_1d, sincos_pos_embed_2d
+
+
+def time_resample_init(t_frames: int, t_bins: int) -> np.ndarray:
+    """(T_frames, T_bins) linear-interpolation matrix (learned from there)."""
+    M = np.zeros((t_frames, t_bins), dtype=np.float32)
+    src = np.linspace(0, t_frames - 1, t_bins)
+    lo = np.floor(src).astype(int)
+    hi = np.minimum(lo + 1, t_frames - 1)
+    frac = src - lo
+    for j in range(t_bins):
+        M[lo[j], j] += 1 - frac[j]
+        M[hi[j], j] += frac[j]
+    return M
+
+
+class FrameEncoder(nn.Module):
+    """Shared per-frame ViT: patchify -> spatial blocks -> mean-pool."""
+
+    patch_size: int = 16
+    hidden: int = 256
+    depth: int = 4
+    heads: int = 4
+    mlp_dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frames):
+        # frames: (N, C, H, W) -> (N, D)
+        x = jnp.transpose(frames, (0, 2, 3, 1)).astype(self.dtype)
+        x = nn.Conv(self.hidden, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype)(x)
+        n, h, w, d = x.shape
+        x = x.reshape(n, h * w, d)
+        grid = int(np.sqrt(h * w))
+        pos = sincos_pos_embed_2d(self.hidden, grid, cls_token=False)
+        x = x + jnp.asarray(pos)[None].astype(x.dtype)
+        for _ in range(self.depth):
+            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        return jnp.mean(x, axis=1)  # (N, D)
+
+
+class VideoTemporalTransformer(nn.Module):
+    """Video (B, T, 1, H, W) -> per-session log-rates (B, T_bins, N_max)."""
+
+    n_sessions: int
+    max_neurons: int
+    t_frames: int = 120
+    t_bins: int = 100
+    patch_size: int = 16
+    hidden: int = 256
+    frame_depth: int = 4
+    temporal_depth: int = 4
+    heads: int = 4
+    mlp_dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, config) -> "VideoTemporalTransformer":
+        return cls(
+            n_sessions=config["n_sessions"],
+            max_neurons=config["max_neurons"],
+            t_frames=config.get("t_frames", 120),
+            t_bins=config.get("t_bins", 100),
+            patch_size=config.get("patch_size", 16),
+            hidden=config.get("hidden_size", 256),
+            frame_depth=config.get("frame_depth", 4),
+            temporal_depth=config.get("temporal_depth", 4),
+            heads=config.get("num_attention_heads", 4),
+            mlp_dim=config.get("intermediate_size", 512),
+        )
+
+    @nn.compact
+    def __call__(self, video, session_ids):
+        """video: (B, T, 1, H, W) uint8/float; session_ids: (B,) int32."""
+        B, T = video.shape[:2]
+        x = video.astype(jnp.float32) / 255.0
+        frames = x.reshape(B * T, *x.shape[2:])
+        emb = FrameEncoder(self.patch_size, self.hidden, self.frame_depth,
+                           self.heads, self.mlp_dim, self.dtype,
+                           name="frame_encoder")(frames)
+        h = emb.reshape(B, T, self.hidden)
+
+        pos = sincos_pos_embed_1d(self.hidden, T)
+        h = h + jnp.asarray(pos)[None].astype(h.dtype)
+        for _ in range(self.temporal_depth):
+            h = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
+                      name=None)(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
+
+        # learned time resampling 120 frames -> 100 bins
+        resample = self.param(
+            "time_resample",
+            lambda key: jnp.asarray(time_resample_init(self.t_frames,
+                                                       self.t_bins)))
+        h = jnp.einsum("btd,tz->bzd", h, resample,
+                       preferred_element_type=jnp.float32)
+
+        # per-session heads: stacked (S, D, N_max) + (S, N_max)
+        W = self.param("session_heads", nn.initializers.normal(0.02),
+                       (self.n_sessions, self.hidden, self.max_neurons))
+        b = self.param("session_bias", nn.initializers.zeros,
+                       (self.n_sessions, self.max_neurons))
+        Wb = W[session_ids]                   # (B, D, N_max)
+        bb = b[session_ids]                   # (B, N_max)
+        out = jnp.einsum("bzd,bdn->bzn", h.astype(jnp.float32), Wb,
+                         preferred_element_type=jnp.float32)
+        return out + bb[:, None, :]

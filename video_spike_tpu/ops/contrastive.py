@@ -58,16 +58,17 @@ def infonce_from_dists(pos_dist: jax.Array, neg_dist: jax.Array
 def info_nce(ref: jax.Array, pos: jax.Array, neg: jax.Array,
              tau: float | jax.Array = 1.0) -> Dict[str, jax.Array]:
     """Stabilized InfoNCE: subtract the stop-gradient row max of the negative
-    similarity matrix before the softmax terms."""
-    pos_dist = jnp.einsum("nd,nd->n", ref, pos) / tau
-    neg_dist = jnp.einsum("nd,md->nm", ref, neg,
-                          preferred_element_type=jnp.float32) / tau
-    c = jax.lax.stop_gradient(jnp.max(neg_dist, axis=1, keepdims=True))
-    pos_dist = pos_dist - c[:, 0]
-    neg_dist = neg_dist - c
-    pos_loss = -jnp.mean(pos_dist)
-    neg_loss = jnp.mean(jax.nn.logsumexp(neg_dist, axis=1))
-    return {"loss": pos_loss + neg_loss, "pos_loss": pos_loss, "neg_loss": neg_loss}
+    similarity matrix before the softmax terms.
+
+    On TPU the forward is one fused Pallas kernel (similarity matmul +
+    row-max + logsumexp in a single VMEM residency, custom VJP); off-TPU the
+    same math runs as jnp.
+    """
+    from video_spike_tpu.ops.pallas.infonce_kernel import info_nce_fused
+    pos_loss, neg_loss = info_nce_fused(
+        ref, pos, neg, jnp.asarray(tau, jnp.float32))
+    return {"loss": pos_loss + neg_loss, "pos_loss": pos_loss,
+            "neg_loss": neg_loss}
 
 
 def nce_loss(ref: jax.Array, pos: jax.Array, neg: jax.Array,

@@ -103,6 +103,19 @@ class BaseTrainer:
         self._step_fn = None
         self._eval_fn = None
         self._global_step = 0
+        self._start_epoch = 0
+
+        from video_spike_tpu.core.tracking import Tracker
+        wandb_cfg = config.get("wandb", {}) or {}
+        self.tracker = Tracker(
+            self.log_dir, project=wandb_cfg.get("project", "ibl-video"),
+            name=f"{eid[:5]}_{'_'.join(self.input_mods)}_"
+                 f"{type(model).__name__}",
+            use_wandb=bool(wandb_cfg.get("use", False)),
+            config=config.to_plain() if hasattr(config, "to_plain") else None)
+        prof = config.get("profiling", {}) or {}
+        self._profile_dir = prof.get("dir") if prof.get("enable") else None
+        self._profile_steps = prof.get("steps", 10)
 
     # ------------------------------------------------------------------
     # input assembly (reference `_forward_model_outputs`)
@@ -161,14 +174,29 @@ class BaseTrainer:
 
     def train_epoch(self) -> dict:
         losses = []
+        profiling = False
         for batch in background(iter(self.train_loader), depth=2):
             inputs = self._assemble_inputs(batch)
             self._init_if_needed(inputs)
+            if (self._profile_dir and not profiling
+                    and self._global_step > 2):
+                jax.profiler.start_trace(self._profile_dir)
+                profiling = True
+                profile_until = self._global_step + self._profile_steps
             x, ap, n_valid = self._pad_and_put(inputs, np.asarray(batch["ap"]))
             self.params, self.opt_state, loss = self._step_fn(
                 self.params, self.opt_state, x, ap, n_valid)
             losses.append(loss)
             self._global_step += 1
+            if profiling and self._global_step >= profile_until:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                self._profile_dir = None  # trace once per run
+                profiling = False
+        if profiling:  # epoch shorter than the profile window
+            jax.block_until_ready(losses[-1])
+            jax.profiler.stop_trace()
+            self._profile_dir = None
         losses = [float(l) for l in losses]
         return {
             "train_loss": round(float(np.mean(losses)), 5),
@@ -223,7 +251,7 @@ class BaseTrainer:
         best_epoch = -1
         num_epochs = self.config.training.num_epochs
         t0 = time.time()
-        for epoch in range(num_epochs):
+        for epoch in range(self._start_epoch, num_epochs):
             train_res = self.train_epoch()
             eval_res = self.eval_epoch()
             line = {"epoch": epoch, **train_res}
@@ -236,6 +264,7 @@ class BaseTrainer:
                     self.save_model("best", epoch)
                     self._plot_figs(eval_res, epoch=epoch)
             self.log.info(f"{line}")
+            self.tracker.log(line, step=self._global_step)
         self.save_model("last", num_epochs - 1)
         self.log.info(f"trained {num_epochs} epochs in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps} @ epoch {best_epoch}")
@@ -258,8 +287,33 @@ class BaseTrainer:
         return self._run_eval(self.test_loader, self.split["eid"]["test"], "test")
 
     def save_model(self, name: str = "last", epoch: int = 0) -> None:
-        save_checkpoint(self.log_dir, f"model_{name}",
-                        {"params": jax.device_get(self.params), "epoch": epoch})
+        """``model_best`` holds params only; ``model_last`` adds the
+        optimizer state and step counter for true resume (a capability the
+        reference lacks — its save is params-only, SURVEY.md §5.4)."""
+        tree = {"params": jax.device_get(self.params), "epoch": epoch}
+        if name == "last":
+            tree["opt_state"] = jax.device_get(self.opt_state)
+            tree["global_step"] = self._global_step
+        save_checkpoint(self.log_dir, f"model_{name}", tree)
+
+    def resume(self, name: str = "last") -> bool:
+        """Restore params + optimizer state + epoch from ``model_last``."""
+        if not checkpoint_exists(self.log_dir, f"model_{name}"):
+            return False
+        # probe one batch to build params/opt_state structure first
+        batch = next(iter(self.train_loader))
+        self._init_if_needed(self._assemble_inputs(batch))
+        restored = load_checkpoint(
+            self.log_dir, f"model_{name}",
+            {"params": self.params, "epoch": 0,
+             "opt_state": self.opt_state, "global_step": 0})
+        self.params = jax.device_put(restored["params"], self.repl)
+        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
+        self._global_step = int(restored["global_step"])
+        self._start_epoch = int(restored["epoch"]) + 1
+        self.log.info(f"resumed from epoch {restored['epoch']} "
+                      f"(step {self._global_step})")
+        return True
 
     def _plot_figs(self, eval_results: dict, epoch: int = 0,
                    test: bool = False) -> None:

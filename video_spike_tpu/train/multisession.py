@@ -1,0 +1,236 @@
+"""Multi-session sharded training for the end-to-end video->spike flagship.
+
+BASELINE.json config 5: trials from several IBL sessions train one model,
+session-sharded over the mesh ``data`` axis. Sessions have different neuron
+counts, so spike targets are padded to ``max_neurons`` and the Poisson NLL
+is masked per (valid-trial x valid-neuron) element; evaluation reports
+bits-per-spike / R² per session over its real neurons only.
+
+The reference has no multi-session trainer (its ``num_sessions`` config keys
+are vestigial); this subsystem is the scaling path the TPU build adds.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_spike_tpu.core.logging import logging as make_logger
+from video_spike_tpu.core.rng import KeySequence
+from video_spike_tpu.data.dataset import SessionDataset, split_dataset
+from video_spike_tpu.data.prefetch import background
+from video_spike_tpu.ops.metrics import metrics_list
+from video_spike_tpu.ops.poisson import poisson_nll
+from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from video_spike_tpu.train.base import make_optimizer
+from video_spike_tpu.train.checkpoint import (
+    checkpoint_exists,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def masked_poisson_nll(log_rates: jax.Array, targets: jax.Array,
+                       neuron_mask: jax.Array,
+                       n_valid_rows: jax.Array) -> jax.Array:
+    """Mean Poisson NLL over (valid trial, any bin, valid neuron) elements.
+    neuron_mask: (B, N_max) 0/1; n_valid_rows: scalar."""
+    nll = poisson_nll(log_rates, targets)
+    b, t = log_rates.shape[:2]
+    rows = (jnp.arange(b) < n_valid_rows).astype(nll.dtype)
+    mask = rows[:, None, None] * neuron_mask[:, None, :]  # (B, 1, N)
+    # mask broadcasts over the T axis, so the element count is sum(mask) * T
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask) * t, 1.0)
+
+
+class MultiSessionTrainer:
+    """Round-robin per-session batches through one jitted sharded step."""
+
+    def __init__(self, model, config, eids: Sequence[str],
+                 data_dir: str, log_dir: str = "results_multi",
+                 mesh=None, seed: int = 42, max_neurons: Optional[int] = None):
+        self.model = model
+        self.config = config
+        self.eids = list(eids)
+        self.sid = {e: i for i, e in enumerate(self.eids)}
+        self.log = make_logger(header="[multisession]")
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_shd = batch_sharding(self.mesh)
+        self.repl = replicated(self.mesh)
+        self.log_dir = os.path.join(log_dir, "multi_" + "_".join(
+            e[:5] for e in self.eids))
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.keys = KeySequence(seed)
+
+        mods = ["ap", "video", "timestamp"]
+        bs = config.training.train_batch_size
+        self.splits = {}
+        self.train_loaders: Dict[str, SessionDataset] = {}
+        self.val_loaders: Dict[str, SessionDataset] = {}
+        self.test_loaders: Dict[str, SessionDataset] = {}
+        self.n_neurons: Dict[str, int] = {}
+        for eid in self.eids:
+            split = split_dataset(data_dir, eid=eid, seed=seed)
+            self.splits[eid] = split
+            self.train_loaders[eid] = SessionDataset(
+                split["train"], bs, shuffle=True, seed=seed, modalities=mods)
+            self.val_loaders[eid] = SessionDataset(
+                split["val"], bs, modalities=mods)
+            self.test_loaders[eid] = SessionDataset(
+                split["test"], bs, modalities=mods)
+            probe = next(iter(self.val_loaders[eid]
+                              if split["val"] else self.train_loaders[eid]))
+            self.n_neurons[eid] = probe["ap"].shape[2]
+        self.max_neurons = max_neurons or max(self.n_neurons.values())
+
+        steps_per_epoch = sum(len(split["train"]) // bs
+                              for split in self.splits.values())
+        self.tx, self.schedule = make_optimizer(
+            config, steps_per_epoch * config.training.num_epochs)
+        self.params = None
+        self.opt_state = None
+        self._step_fn = None
+        self._eval_fn = None
+        self._gstep = 0
+
+    # ------------------------------------------------------------------
+    def _pad_batch(self, batch: Dict[str, np.ndarray], eid: str):
+        """Pad spikes to max_neurons and the batch to a mesh multiple."""
+        video = np.asarray(batch["video"], dtype=np.uint8)
+        ap = np.asarray(batch["ap"], dtype=np.float32)
+        n = self.n_neurons[eid]
+        if ap.shape[2] < self.max_neurons:
+            ap = np.pad(ap, ((0, 0), (0, 0),
+                             (0, self.max_neurons - ap.shape[2])))
+        b = ap.shape[0]
+        n_data = self.mesh.shape["data"]
+        pad = (-b) % n_data
+        if pad:
+            video = np.concatenate([video, np.repeat(video[-1:], pad, 0)], 0)
+            ap = np.concatenate([ap, np.repeat(ap[-1:], pad, 0)], 0)
+        bp = ap.shape[0]
+        sids = np.full((bp,), self.sid[eid], np.int32)
+        nmask = np.zeros((bp, self.max_neurons), np.float32)
+        nmask[:, :n] = 1.0
+        return (jax.device_put(video, self.batch_shd),
+                jax.device_put(ap, self.batch_shd),
+                jax.device_put(sids, self.batch_shd),
+                jax.device_put(nmask, self.batch_shd),
+                jnp.float32(b))
+
+    def _init_if_needed(self, video, sids) -> None:
+        if self.params is not None:
+            return
+        self.params = jax.device_put(
+            self.model.init(self.keys(), jnp.asarray(video[:1]),
+                            jnp.asarray(sids[:1])), self.repl)
+        self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        self.log.info(f"VTT: {n/1e6:.1f}M params, sessions={self.eids}, "
+                      f"max_neurons={self.max_neurons}")
+        model, tx = self.model, self.tx
+
+        def train_step(params, opt_state, video, ap, sids, nmask, n_valid):
+            def loss_fn(p):
+                out = model.apply(p, video, sids)
+                return masked_poisson_nll(out, ap, nmask, n_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(lambda p, v, s: model.apply(p, v, s))
+
+    # ------------------------------------------------------------------
+    def _interleaved_batches(self):
+        """Round-robin over session loaders so every step is single-session
+        (static shapes) but sessions mix within the epoch."""
+        iters = {e: iter(background(iter(self.train_loaders[e]), depth=1))
+                 for e in self.eids}
+        live = set(self.eids)
+        while live:
+            for eid in list(self.eids):
+                if eid not in live:
+                    continue
+                try:
+                    yield eid, next(iters[eid])
+                except StopIteration:
+                    live.discard(eid)
+
+    def train_epoch(self) -> dict:
+        losses = []
+        for eid, batch in self._interleaved_batches():
+            video, ap, sids, nmask, n_valid = self._pad_batch(batch, eid)
+            self._init_if_needed(np.asarray(batch["video"], np.uint8),
+                                 np.zeros(1, np.int32))
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, video, ap, sids, nmask, n_valid)
+            losses.append(loss)
+            self._gstep += 1
+        return {"train_loss": round(float(np.mean([float(l) for l in losses])), 5),
+                "lr": float(self.schedule(self._gstep))}
+
+    def _eval(self, loaders: Dict[str, SessionDataset], phase: str) -> dict:
+        per_session = {}
+        for eid, loader in loaders.items():
+            if loader.num_trials == 0:
+                continue
+            gts, preds = [], []
+            for batch in loader:
+                video, ap, sids, nmask, n_valid = self._pad_batch(batch, eid)
+                self._init_if_needed(np.asarray(batch["video"], np.uint8),
+                                     np.zeros(1, np.int32))
+                out = np.asarray(self._eval_fn(self.params, video, sids))
+                b = batch["ap"].shape[0]
+                n = self.n_neurons[eid]
+                gts.append(np.asarray(batch["ap"])[:, :, :n])
+                preds.append(np.exp(out[:b, :, :n]))
+            gt = np.concatenate(gts, 0)
+            pr = np.concatenate(preds, 0)
+            res = metrics_list(np.swapaxes(gt, 0, -1), np.swapaxes(pr, 0, -1),
+                               metrics=("bps", "rsquared"))
+            per_session[eid] = res
+        agg = {f"{phase}_bps": round(float(np.mean(
+                   [r["bps"] for r in per_session.values()])), 5),
+               f"{phase}_rsquared": round(float(np.mean(
+                   [r["rsquared"] for r in per_session.values()])), 5)}
+        return {"per_session": per_session, **agg}
+
+    def train(self) -> dict:
+        best_bps = -np.inf
+        t0 = time.time()
+        for epoch in range(self.config.training.num_epochs):
+            tr = self.train_epoch()
+            ev = self._eval(self.val_loaders, "eval")
+            line = {"epoch": epoch, **tr,
+                    "eval_bps": ev["eval_bps"],
+                    "eval_rsquared": ev["eval_rsquared"]}
+            self.log.info(f"{line}")
+            if ev["eval_bps"] > best_bps:
+                best_bps = ev["eval_bps"]
+                save_checkpoint(self.log_dir, "model_best",
+                                {"params": jax.device_get(self.params),
+                                 "epoch": epoch})
+        self.log.info(f"trained in {time.time()-t0:.1f}s; "
+                      f"best eval_bps={best_bps}")
+        if checkpoint_exists(self.log_dir, "model_best"):
+            restored = load_checkpoint(self.log_dir, "model_best",
+                                       {"params": self.params, "epoch": 0})
+            self.params = jax.device_put(restored["params"], self.repl)
+        test = self._eval(self.test_loaders, "test")
+        np.save(os.path.join(self.log_dir, "test_results.npy"),
+                {"test_res": {"test_bps": test["test_bps"],
+                              "test_rsquared": test["test_rsquared"]},
+                 "per_session": {e: r for e, r in test["per_session"].items()}})
+        self.log.info(f"test: {test['test_bps']} bps, "
+                      f"{test['test_rsquared']} r2")
+        return {"best_eval_bps": best_bps, "test": test}
