@@ -43,8 +43,9 @@ def test_tar_mp4_roundtrip(tmp_path, rng):
                     videos={"video": video}, store_video_as="mp4")
     out = read_trial_tar(tmp_path / "e_1.tar")
     assert out["video"].shape == (12, 1, 64, 64)
-    # lossy codec: close, not exact
-    err = np.abs(out["video"][:, 0] - video).mean()
+    # lossy codec: close, not exact (cast first: uint8 subtraction wraps)
+    err = np.abs(out["video"][:, 0].astype(np.int16)
+                 - video.astype(np.int16)).mean()
     assert err < 8.0, f"mp4 roundtrip too lossy: {err}"
 
 

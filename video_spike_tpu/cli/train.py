@@ -39,6 +39,7 @@ def main(argv=None):
         config["training"]["num_epochs"] = args.num_epochs
     if args.batch_size is not None:
         config["training"]["train_batch_size"] = args.batch_size
+    config["save_plot"] = bool(args.save_plot)
 
     set_seed(config.seed)
 

@@ -123,7 +123,10 @@ class SessionDataset:
             if k in ("eid", "__key__", "meta"):
                 continue
             if self.modalities is None or k in self.modalities:
-                if isinstance(v, np.ndarray) and v.dtype != np.float32:
+                if isinstance(v, np.ndarray) and v.dtype not in (
+                        np.float32, np.uint8):
+                    # video stays uint8 end-to-end (4x cheaper H2D; models
+                    # cast on device); everything else becomes float32
                     v = v.astype(np.float32)
                 out[k] = v
         return out

@@ -133,11 +133,11 @@ def parse_tar_blob(blob: bytes) -> dict:
                 out["meta"] = json.loads(data)
             elif ext == "npy":
                 vid = np.load(io.BytesIO(data))
-                out[mod] = vid[:, None, :, :].astype(np.float32)
+                out[mod] = vid[:, None, :, :]          # uint8 end-to-end
             elif ext == "mp4":
                 from video_spike_tpu.data.tar_io import decode_mp4
                 vid = decode_mp4(data)
-                out[mod] = vid[:, None, :, :].astype(np.float32)
+                out[mod] = vid[:, None, :, :]
     if "__key__" in out:
         out["eid"] = out["__key__"].split("_")[0]
     return out

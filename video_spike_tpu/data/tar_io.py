@@ -134,11 +134,13 @@ def read_trial_tar(path: str | Path, decode_video: bool = True) -> dict:
             elif ext == "json":
                 out["meta"] = json.loads(data)
             elif ext == "npy" and decode_video:
+                # uint8 (T, 1, H, W): stays compact through host memory and
+                # H2D; consumers cast on device
                 vid = np.load(io.BytesIO(data))
-                out[mod] = vid[:, None, :, :].astype(np.float32)
+                out[mod] = vid[:, None, :, :]
             elif ext == "mp4" and decode_video:
                 vid = decode_mp4(data)
-                out[mod] = vid[:, None, :, :].astype(np.float32)
+                out[mod] = vid[:, None, :, :]
     if "__key__" in out:
         out["eid"] = out["__key__"].split("_")[0]
     return out

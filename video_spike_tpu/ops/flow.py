@@ -229,6 +229,10 @@ def get_optic_flow(video: np.ndarray, backend: str = "jax") -> Dict:
 
     `video`: (T, H, W) grayscale. Returns {'of', 'of-2d', 'of-video', 'me'}
     (the reference also computes frame-difference motion energy inline).
+
+    `backend`: 'jax' (host CPU — flow is an offline ETL op and the large
+    unrolled pyramid program compiles in seconds there, vs minutes through a
+    remote TPU compile service), 'jax-accel' (default jax device), or 'cv2'.
     """
     video = np.asarray(video, dtype=np.float32)
     me = np.mean(np.abs(np.diff(video, axis=0)), axis=(1, 2))
@@ -241,9 +245,15 @@ def get_optic_flow(video: np.ndarray, backend: str = "jax") -> Dict:
                                          0.5, 3, 15, 3, 5, 1.2, 0)
             for i in range(len(video) - 1)], axis=0)
     else:
-        fields = np.asarray(
-            jax.vmap(farneback_flow)(jnp.asarray(video[:-1]),
-                                     jnp.asarray(video[1:])))
+        flow_fn = jax.vmap(farneback_flow)
+        if backend == "jax":
+            cpus = jax.devices("cpu")
+            with jax.default_device(cpus[0]):
+                fields = np.asarray(flow_fn(jnp.asarray(video[:-1]),
+                                            jnp.asarray(video[1:])))
+        else:
+            fields = np.asarray(flow_fn(jnp.asarray(video[:-1]),
+                                        jnp.asarray(video[1:])))
 
     raw = fields.copy()
     absf = np.abs(fields)

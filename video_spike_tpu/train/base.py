@@ -59,8 +59,13 @@ def make_optimizer(config, total_steps: int):
         div_factor=opt.get("div_factor", 10),
         final_div_factor=1e4,
     )
+    # optimizer.mu_dtype: bfloat16 trims first-moment HBM traffic on
+    # HBM-bound updates (the raw-video Linear model is ~500M params);
+    # default float32 matches the reference's torch AdamW numerics
+    mu_dtype = opt.get("mu_dtype", None)
     tx = optax.adamw(schedule, weight_decay=opt.get("wd", 0.01),
-                     eps=opt.get("eps", 1e-8))
+                     eps=opt.get("eps", 1e-8),
+                     mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None)
     return tx, schedule
 
 
@@ -117,12 +122,31 @@ class BaseTrainer:
         self._profile_dir = prof.get("dir") if prof.get("enable") else None
         self._profile_steps = prof.get("steps", 10)
 
+        # device-resident dataset cache: IBL sessions are ~1-2 GB, far below
+        # HBM, so trials are staged on-device once and every later epoch is
+        # compute-bound (no per-epoch H2D). Caps at device_cache_gb.
+        self._device_cache_enabled = bool(
+            config.training.get("device_cache", True))
+        self._device_cache_gb = float(
+            config.training.get("device_cache_gb", 6.0))
+        self._dev_data = None          # (X_all, ap_all) device arrays
+        self._cached_step = None
+        self._cached_eval = None
+        self._rng = np.random.default_rng(
+            seed if seed is not None else config.get("seed", 42))
+
     # ------------------------------------------------------------------
     # input assembly (reference `_forward_model_outputs`)
     # ------------------------------------------------------------------
     def _assemble_inputs(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         if self.model_class == "Linear":
-            parts = [np.asarray(batch[mod]).reshape(batch[mod].shape[0], -1)
+            if len(self.input_mods) == 1:
+                mod = self.input_mods[0]
+                # single modality keeps its dtype (uint8 video stays compact)
+                return np.asarray(batch[mod]).reshape(
+                    batch[mod].shape[0], -1)
+            parts = [np.asarray(batch[mod], dtype=np.float32)
+                     .reshape(batch[mod].shape[0], -1)
                      for mod in self.input_mods]
             return np.concatenate(parts, axis=-1)
         return np.asarray(batch["video"])
@@ -172,7 +196,83 @@ class BaseTrainer:
         ap_d = jax.device_put(ap, self.batch_shd)
         return x, ap_d, jnp.float32(n)
 
+    def _stage_device_dataset(self) -> bool:
+        """Stage every training trial in HBM once; returns False if the
+        dataset exceeds the configured cap (streaming path is used then)."""
+        if self._dev_data is not None:
+            return True
+        if not self._device_cache_enabled:
+            return False
+        xs, aps = [], []
+        for batch in self.train_loader:
+            xs.append(self._assemble_inputs(batch))
+            aps.append(np.asarray(batch["ap"], dtype=np.float32))
+        if not xs:
+            return False
+        X = np.concatenate(xs, axis=0)
+        A = np.concatenate(aps, axis=0)
+        self._n_train = X.shape[0]
+        # pad the trial axis to the mesh so the staged arrays shard evenly
+        # (padding rows are never sampled: the permutation covers n_train)
+        pad = (-X.shape[0]) % self.mesh.shape["data"]
+        if pad:
+            X = np.concatenate([X, np.repeat(X[-1:], pad, 0)], axis=0)
+            A = np.concatenate([A, np.repeat(A[-1:], pad, 0)], axis=0)
+        if X.nbytes + A.nbytes > self._device_cache_gb * 1e9:
+            self.log.info(
+                f"dataset {X.nbytes/1e9:.1f} GB exceeds device cache cap; "
+                f"streaming per step")
+            self._device_cache_enabled = False
+            return False
+        self._init_if_needed(X[:1])
+        self._dev_data = (jax.device_put(X, self.batch_shd),
+                          jax.device_put(A, self.batch_shd))
+        self.log.info(f"staged {X.nbytes/1e6:.0f} MB of trials in HBM "
+                      f"({self._n_train} trials); epochs are now "
+                      f"transfer-free")
+
+        model, tx, criterion = self.model, self.tx, self.criterion
+
+        def cached_step(params, opt_state, X_all, ap_all, idx, n_valid):
+            x = jnp.take(X_all, idx, axis=0)
+            ap = jnp.take(ap_all, idx, axis=0)
+
+            def loss_fn(p):
+                return criterion(model.apply(p, x), ap, n_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._cached_step = jax.jit(cached_step, donate_argnums=(0, 1))
+        return True
+
+    def _train_epoch_cached(self) -> dict:
+        X_all, ap_all = self._dev_data
+        bs = self.config.training.train_batch_size
+        bs += (-bs) % self.mesh.shape["data"]
+        perm = self._rng.permutation(self._n_train)
+        losses = []
+        for s in range(0, self._n_train, bs):
+            idx = perm[s:s + bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_valid)])
+            self.params, self.opt_state, loss = self._cached_step(
+                self.params, self.opt_state, X_all, ap_all,
+                jax.device_put(idx.astype(np.int32), self.batch_shd),
+                jnp.float32(n_valid))
+            losses.append(loss)
+            self._global_step += 1
+        return {
+            "train_loss": round(float(np.mean([float(l) for l in losses])), 5),
+            "lr": float(self.schedule(self._global_step)),
+        }
+
     def train_epoch(self) -> dict:
+        if self._stage_device_dataset():
+            return self._train_epoch_cached()
         losses = []
         profiling = False
         for batch in background(iter(self.train_loader), depth=2):
