@@ -42,6 +42,8 @@ MEASURE_STEPS = 60        # = 3 epochs of 20 batches
 
 
 def main() -> None:
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     from video_spike_tpu.models.linear import LinearModel
     from video_spike_tpu.ops.poisson import poisson_nll_mean
 

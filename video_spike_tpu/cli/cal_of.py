@@ -18,6 +18,8 @@ from video_spike_tpu.viz.embeddings import float32_to_uint8, save_numpy_video_to
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str, required=True)
     parser.add_argument("--eid", type=str, required=True)

@@ -28,6 +28,8 @@ def read_eids(args) -> list:
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     args = get_args(argv)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
     config = update_config(args.train_config, config)

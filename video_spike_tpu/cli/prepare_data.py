@@ -128,6 +128,8 @@ def etl_session(raw: dict, out_dir: str | Path, eid: str,
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     parser = argparse.ArgumentParser()
     parser.add_argument("--eid", type=str, required=True)
     parser.add_argument("--base_path", type=str, required=True,

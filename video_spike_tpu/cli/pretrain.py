@@ -32,6 +32,8 @@ MODEL_SHORTNAMES = {"c": "ContrastViT", "cm": "ContrastViTMAE", "m": "MAE"}
 
 
 def main(argv=None, h5_path: str | None = None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     log = make_logger(header="[pretrain]")
     log.info("Pretraining!")
     args, extra = _parse(argv)

@@ -27,6 +27,8 @@ from video_spike_tpu.train.rrr_pipeline import train_rrr
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     log = make_logger(header="[test]")
     log.info("Testing!")
     parser = argparse.ArgumentParser(add_help=False)

@@ -28,6 +28,8 @@ from video_spike_tpu.train.base import make_base_trainer
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     log = make_logger(header="[train]")
     args = get_args(argv)
     kwargs = {"model": f"include:{args.model_config}"}

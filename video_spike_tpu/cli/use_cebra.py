@@ -22,6 +22,8 @@ from video_spike_tpu.models.cebra import get_cebra_embedding, get_pca_embedding
 
 
 def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--use_pca", action="store_true")
     parser.add_argument("--out_dim", type=int, default=5)

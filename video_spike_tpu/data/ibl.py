@@ -219,6 +219,36 @@ def whisker_pad_roi_from_dlc(dlc: Dict[str, np.ndarray]):
     return whisker_pad_roi(nose, pupil)
 
 
+def merge_probes(spikes_list, clusters_meta_list):
+    """Merge spikes from several probes into one session-wide stream with
+    globally re-indexed cluster ids (``/root/reference/src/utils/
+    ibl_data_utils.py:83`` capability).
+
+    `spikes_list`: per-probe dicts with 'times' (S,) and 'clusters' (S,);
+    `clusters_meta_list`: per-probe dicts of per-cluster arrays (must share
+    keys). Returns (merged_spikes, merged_cluster_meta).
+    """
+    times, clusters = [], []
+    meta_out: Dict[str, list] = {}
+    offset = 0
+    for spikes, meta in zip(spikes_list, clusters_meta_list):
+        c = np.asarray(spikes["clusters"])
+        uniq, dense = np.unique(c, return_inverse=True)
+        times.append(np.asarray(spikes["times"]))
+        clusters.append(dense + offset)
+        for k, v in meta.items():
+            v = np.asarray(v)
+            # per-cluster metadata indexed by raw id -> select merged order
+            sel = v[uniq] if len(v) > uniq.max() else v
+            meta_out.setdefault(k, []).append(sel)
+        offset += len(uniq)
+    all_times = np.concatenate(times)
+    all_clusters = np.concatenate(clusters)
+    order = np.argsort(all_times, kind="stable")
+    merged = {"times": all_times[order], "clusters": all_clusters[order]}
+    return merged, {k: np.concatenate(v) for k, v in meta_out.items()}
+
+
 # ---------------------------------------------------------------------------
 # network loaders (require ibllib/ONE; import is deferred and gated)
 # ---------------------------------------------------------------------------
