@@ -155,6 +155,9 @@ def main(argv=None):
     result = fit_and_eval(train_data, ground_truth, eids)
     out = f"{args.input_mod}_result.npy"
     np.save(out, result)
+    # per-eid copies for plot_scatter's <eid5>_<mod>_result.npy convention
+    for eid, res in result.items():
+        np.save(f"{eid[:5]}_{args.input_mod}_result.npy", res)
     print(f"saved {out}")
     return result
 

@@ -155,16 +155,34 @@ class SessionDataset:
                     raise
                 native_gen = None
         if native_gen is not None:
-            for path in order:
-                if self.cache and path in self._cache:
-                    yield self._cache[path]
-                    continue
-                blob_path, blob = next(native_gen)
-                assert blob_path == path, (blob_path, path)
-                sample = self._select(self._parse_blob(blob))
-                if self.cache:
-                    self._cache[path] = sample
-                yield sample
+            # C++ threads stream blobs; a Python pool parses them (pickle +
+            # tar headers) ahead of consumption, results yielded in order
+            parse = self._parse_blob
+            select = self._select
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending: list = []
+                depth = max(2 * self.num_workers, 4)
+
+                def emit(fut, path):
+                    sample = fut.result()
+                    if self.cache:
+                        self._cache[path] = sample
+                    return sample
+
+                for path in order:
+                    if self.cache and path in self._cache:
+                        pending.append((None, path))
+                    else:
+                        blob_path, blob = next(native_gen)
+                        assert blob_path == path, (blob_path, path)
+                        pending.append(
+                            (pool.submit(lambda b: select(parse(b)), blob),
+                             path))
+                    while len(pending) > depth:
+                        fut, p = pending.pop(0)
+                        yield self._cache[p] if fut is None else emit(fut, p)
+                for fut, p in pending:
+                    yield self._cache[p] if fut is None else emit(fut, p)
         else:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 yield from pool.map(self._load, order)

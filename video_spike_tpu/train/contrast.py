@@ -68,6 +68,9 @@ class ContrastTrainer:
         self.tx = optax.adamw(opt.get("lr", 1e-4),
                               weight_decay=opt.get("wd", 0.01),
                               eps=opt.get("eps", 1e-8))
+        from video_spike_tpu.core.tracking import Tracker
+        self.tracker = Tracker(self.log_dir, project="video-ssl",
+                               name=f"{eid[:5]}_{self.model_name}")
         self._key = jax.random.PRNGKey(seed)
         self._step_count = 0
         self.params = None
@@ -147,6 +150,7 @@ class ContrastTrainer:
         while current_step < self.max_steps:
             for batch in background(iter(self.data_loader), depth=2):
                 logs = self._step(batch, current_step)
+                self.tracker.log(logs, step=current_step)
                 if current_step % 50 == 0:
                     self.log.info(f"{logs}")
                 current_step += 1
@@ -154,6 +158,7 @@ class ContrastTrainer:
                     break
             val = self._validate()
             self.log.info(f"{val}")
+            self.tracker.log(val, step=current_step)
             if val["val_bps"] > best_bps:
                 best_bps = val["val_bps"]
                 self.log.info(f"Best val bps: {best_bps}")

@@ -68,6 +68,8 @@ class MultiSessionTrainer:
             e[:5] for e in self.eids))
         os.makedirs(self.log_dir, exist_ok=True)
         self.keys = KeySequence(seed)
+        from video_spike_tpu.core.tracking import Tracker
+        self.tracker = Tracker(self.log_dir, name="multisession")
 
         mods = ["ap", "video", "timestamp"]
         bs = config.training.train_batch_size
@@ -215,6 +217,7 @@ class MultiSessionTrainer:
                     "eval_bps": ev["eval_bps"],
                     "eval_rsquared": ev["eval_rsquared"]}
             self.log.info(f"{line}")
+            self.tracker.log(line, step=self._gstep)
             if ev["eval_bps"] > best_bps:
                 best_bps = ev["eval_bps"]
                 save_checkpoint(self.log_dir, "model_best",
