@@ -101,6 +101,13 @@ class MultiSessionTrainer:
         self._step_fn = None
         self._eval_fn = None
         self._gstep = 0
+        self._rng = np.random.default_rng(seed)
+        self._device_cache_enabled = bool(
+            config.training.get("device_cache", True))
+        self._device_cache_gb = float(
+            config.training.get("device_cache_gb", 6.0))
+        self._dev_data = None
+        self._cached_step = None
 
     # ------------------------------------------------------------------
     def _pad_batch(self, batch: Dict[str, np.ndarray], eid: str):
@@ -168,7 +175,95 @@ class MultiSessionTrainer:
                 except StopIteration:
                     live.discard(eid)
 
+    def _stage_device_dataset(self) -> bool:
+        """Stage every session's trials in HBM with padded spike targets.
+
+        With per-sample session ids and neuron masks, cached batches mix
+        sessions freely (the model gathers each trial's head), unlike the
+        streaming path's single-session round-robin.
+        """
+        if self._dev_data is not None:
+            return True
+        if not self._device_cache_enabled:
+            return False
+        vids, aps, sids, masks = [], [], [], []
+        for eid in self.eids:
+            for batch in self.train_loaders[eid]:
+                v = np.asarray(batch["video"], dtype=np.uint8)
+                a = np.asarray(batch["ap"], dtype=np.float32)
+                n = self.n_neurons[eid]
+                if a.shape[2] < self.max_neurons:
+                    a = np.pad(a, ((0, 0), (0, 0),
+                                   (0, self.max_neurons - a.shape[2])))
+                m = np.zeros((v.shape[0], self.max_neurons), np.float32)
+                m[:, :n] = 1.0
+                vids.append(v)
+                aps.append(a)
+                sids.append(np.full(v.shape[0], self.sid[eid], np.int32))
+                masks.append(m)
+        V = np.concatenate(vids, 0)
+        A = np.concatenate(aps, 0)
+        S = np.concatenate(sids, 0)
+        M = np.concatenate(masks, 0)
+        self._n_train = V.shape[0]
+        if V.nbytes + A.nbytes > self._device_cache_gb * 1e9:
+            self.log.info("dataset exceeds device cache cap; streaming")
+            self._device_cache_enabled = False
+            return False
+        pad = (-V.shape[0]) % self.mesh.shape["data"]
+        if pad:
+            V, A, S, M = (np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
+                          for x in (V, A, S, M))
+        self._init_if_needed(V[:1], S[:1])
+        self._dev_data = tuple(
+            jax.device_put(x, self.batch_shd) for x in (V, A, S, M))
+        self.log.info(f"staged {V.nbytes/1e6:.0f} MB across "
+                      f"{len(self.eids)} sessions in HBM")
+
+        model, tx = self.model, self.tx
+
+        def cached_step(params, opt_state, V, A, S, M, idx, n_valid):
+            video = jnp.take(V, idx, axis=0)
+            ap = jnp.take(A, idx, axis=0)
+            sid = jnp.take(S, idx, axis=0)
+            nmask = jnp.take(M, idx, axis=0)
+
+            def loss_fn(p):
+                out = model.apply(p, video, sid)
+                return masked_poisson_nll(out, ap, nmask, n_valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._cached_step = jax.jit(cached_step, donate_argnums=(0, 1))
+        return True
+
+    def _train_epoch_cached(self) -> dict:
+        V, A, S, M = self._dev_data
+        bs = self.config.training.train_batch_size
+        bs += (-bs) % self.mesh.shape["data"]
+        perm = self._rng.permutation(self._n_train)
+        losses = []
+        for s in range(0, self._n_train, bs):
+            idx = perm[s:s + bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_valid)])
+            self.params, self.opt_state, loss = self._cached_step(
+                self.params, self.opt_state, V, A, S, M,
+                jax.device_put(idx.astype(np.int32), self.batch_shd),
+                jnp.float32(n_valid))
+            losses.append(loss)
+            self._gstep += 1
+        return {"train_loss": round(
+                    float(np.mean([float(l) for l in losses])), 5),
+                "lr": float(self.schedule(self._gstep))}
+
     def train_epoch(self) -> dict:
+        if self._stage_device_dataset():
+            return self._train_epoch_cached()
         losses = []
         for eid, batch in self._interleaved_batches():
             video, ap, sids, nmask, n_valid = self._pad_batch(batch, eid)
