@@ -74,6 +74,7 @@ def main(argv=None, h5_path: str | None = None):
         image_size=image_size,
         seed=config.seed,
         log=log,
+        validate_every=extra.validate_every,
     )
     trainer.fit()
 
@@ -104,6 +105,9 @@ def _parse(argv):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--h5_path", type=str,
                         default="data/data_rrr_whisker-video.h5")
+    parser.add_argument("--validate_every", type=int, default=None,
+                        help="validation cadence in steps (default: every "
+                             "pass over the pretrain loader)")
     extra, rest = parser.parse_known_args(argv)
     return get_args(rest), extra
 

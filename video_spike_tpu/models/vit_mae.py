@@ -105,6 +105,30 @@ def unpatchify(patches: jax.Array, patch: int, channels: int) -> jax.Array:
 # transformer blocks
 # ---------------------------------------------------------------------------
 
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with the fused Pallas core on TPU
+    (QK^T + softmax + PV in one VMEM residency; jnp fallback off-TPU)."""
+
+    hidden: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from video_spike_tpu.ops.pallas.attention_kernel import fused_attention
+
+        B, S, _ = x.shape
+        head_dim = self.hidden // self.heads
+        qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, S, 3, self.heads, head_dim)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3))
+                   for i in range(3))
+        out = fused_attention(q, k, v)                  # (B, H, S, Dh) f32
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, S, self.hidden)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(
+            out.astype(self.dtype))
+
+
 class Block(nn.Module):
     hidden: int
     heads: int
@@ -115,9 +139,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, qkv_features=self.hidden,
-            deterministic=True)(y, y)
+        y = SelfAttention(self.hidden, self.heads, self.dtype)(y)
         x = x + y
         y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)

@@ -49,12 +49,17 @@ class ContrastTrainer:
                  max_steps: int = 1000, criterion=loss_fn_,
                  eid: str = "", log_dir: str = "logs",
                  image_size: int = 144, seed: int = 42, log=None,
+                 validate_every: Optional[int] = None,
                  subsample_seed_parity: bool = True):
         self.model = model
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
         self.train_data_loader = train_data_loader
         self.max_steps = max_steps
+        # None -> validate after each pass over the loader (reference
+        # behavior); an int decouples validation cadence from epoch length
+        # (the nested RRR fit is expensive relative to short epochs)
+        self.validate_every = validate_every
         self.criterion = criterion
         self.eid = eid
         self.image_size = image_size
@@ -147,6 +152,7 @@ class ContrastTrainer:
         current_step = 0
         best_bps = -np.inf
         start = time.time()
+        last_validation = 0
         while current_step < self.max_steps:
             for batch in background(iter(self.data_loader), depth=2):
                 logs = self._step(batch, current_step)
@@ -156,6 +162,11 @@ class ContrastTrainer:
                 current_step += 1
                 if current_step >= self.max_steps:
                     break
+            if (self.validate_every is not None
+                    and current_step - last_validation < self.validate_every
+                    and current_step < self.max_steps):
+                continue
+            last_validation = current_step
             val = self._validate()
             self.log.info(f"{val}")
             self.tracker.log(val, step=current_step)
