@@ -143,9 +143,10 @@ class ContrastTrainer:
                                   axis=0)
         self.params, self.opt_state, loss, aux = self._train_step(
             self.params, self.opt_state, jnp.asarray(trip), self._next_key())
-        out = {"cur_step": cur_step, "loss": float(loss)}
-        out.update({k: float(v) for k, v in aux.items()})
-        return out
+        # keep device scalars: a device_get here costs a ~100 ms tunnel
+        # round-trip per step (the step itself is ~16 ms); fit() converts
+        # lazily at the logging cadence
+        return {"cur_step": cur_step, "loss": loss, **aux}
 
     def fit(self) -> float:
         self.log.info("Starting fitting!")
@@ -156,8 +157,10 @@ class ContrastTrainer:
         while current_step < self.max_steps:
             for batch in background(iter(self.data_loader), depth=2):
                 logs = self._step(batch, current_step)
-                self.tracker.log(logs, step=current_step)
                 if current_step % 50 == 0:
+                    logs = {k: (float(v) if hasattr(v, "dtype") else v)
+                            for k, v in logs.items()}
+                    self.tracker.log(logs, step=current_step)
                     self.log.info(f"{logs}")
                 current_step += 1
                 if current_step >= self.max_steps:
