@@ -188,6 +188,24 @@ def main():
     (CFG / "model" / "vit_mae" / "vit_mae.yaml").write_text(
         yaml.safe_dump(vit_mae, sort_keys=False))
 
+    vtt_train = copy.deepcopy(TRAIN_BASE)
+    vtt_train["data"]["modalities"] = modality_block(["video"])
+    vtt_train["training"]["train_batch_size"] = 8
+    vtt_train["training"]["test_batch_size"] = 8
+    vtt_train["model"] = {"model_class": "VideoTransformer"}
+    (CFG / "train" / "vtt_video.yaml").write_text(
+        yaml.safe_dump(vtt_train, sort_keys=False))
+    vtt_model = {
+        "model_class": "VideoTransformer",
+        "t_frames": 120, "t_bins": 100,
+        "patch_size": 16, "hidden_size": 256,
+        "frame_depth": 4, "temporal_depth": 4,
+        "num_attention_heads": 4, "intermediate_size": 512,
+        "n_sessions": None, "max_neurons": None,  # injected from data
+    }
+    (CFG / "model" / "vtt_video.yaml").write_text(
+        yaml.safe_dump(vtt_model, sort_keys=False))
+
     videomae = {
         "model_class": "VideoMAE",
         "image_size": 224,

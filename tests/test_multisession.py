@@ -67,6 +67,30 @@ def two_sessions(tmp_path_factory):
     return d
 
 
+def test_multisession_streaming_path(two_sessions, tmp_path):
+    """device_cache off exercises the per-step round-robin transfers."""
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer
+    from video_spike_tpu.train.multisession import MultiSessionTrainer
+
+    config = DictConfig({
+        "training": {"num_epochs": 1, "train_batch_size": 4,
+                     "test_batch_size": 4, "device_cache": False},
+        "optimizer": {"lr": 1e-3, "wd": 0.01, "eps": 1e-8,
+                      "warmup_pct": 0.15, "div_factor": 10},
+    })
+    trainer = MultiSessionTrainer(model=None, config=config,
+                                  eids=["sessa0000", "sessb0000"],
+                                  data_dir=str(two_sessions),
+                                  log_dir=str(tmp_path))
+    trainer.model = VideoTemporalTransformer.from_config(
+        dict(TINY, n_sessions=2, max_neurons=trainer.max_neurons,
+             t_frames=120, t_bins=100))
+    res = trainer.train_epoch()
+    assert np.isfinite(res["train_loss"])
+    assert trainer._dev_data is None  # stayed on the streaming path
+
+
 def test_multisession_cli_end_to_end(two_sessions, tmp_path, monkeypatch):
     import yaml
     from video_spike_tpu.cli.train import main

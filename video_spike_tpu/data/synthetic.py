@@ -15,8 +15,6 @@ prepare_data.py:67-74,186-198``): 2 s trials, 120 video frames at 60 Hz
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from video_spike_tpu.data.tar_io import write_trial_tar

@@ -23,7 +23,7 @@ entry), gathers instead of boolean indexing.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ the MLP widths shard naturally over ``model``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any
 
 import numpy as np
 

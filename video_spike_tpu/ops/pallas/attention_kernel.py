@@ -13,7 +13,6 @@ in one fused XLA kernel via custom VJP (standard attention gradients).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import numpy as np
 

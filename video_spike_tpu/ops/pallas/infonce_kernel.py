@@ -12,7 +12,6 @@ kernel) via custom VJP. Falls back to jnp off-TPU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np

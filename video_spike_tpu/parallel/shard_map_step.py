@@ -12,13 +12,11 @@ This is the direct TPU-native equivalent of DDP's bucketed all-reduce
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.5 top-level API; the experimental path is deprecated
     from jax import shard_map

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import time
-from pathlib import Path
 from typing import Dict, Optional
 
 import numpy as np
@@ -34,7 +33,7 @@ import optax
 from video_spike_tpu.core.logging import logging as make_logger
 from video_spike_tpu.core.rng import KeySequence
 from video_spike_tpu.data.dataset import input_modalities
-from video_spike_tpu.data.prefetch import background, device_put_batch
+from video_spike_tpu.data.prefetch import background
 from video_spike_tpu.ops.metrics import metrics_list
 from video_spike_tpu.ops.poisson import poisson_nll_mean
 from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated

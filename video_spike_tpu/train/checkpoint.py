@@ -9,7 +9,6 @@ the ``model_best`` / ``model_last`` contract.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Optional
 
