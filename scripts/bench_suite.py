@@ -1,0 +1,193 @@
+"""Multi-workload benchmark: step times across the model zoo at the
+reference's real recipe shapes. Prints one JSON line per workload.
+
+    python scripts/bench_suite.py [--skip ssl_base]
+
+(bench.py stays the driver's single-number benchmark; this suite is the
+engineering record behind BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def sync(x) -> None:
+    # device_get is the reliable barrier on the axon runtime
+    jax.tree.map(lambda l: np.asarray(l) if hasattr(l, "dtype") else l, x)
+
+
+def timed(step, *args, n=20, warmup=2):
+    out = None
+    for _ in range(warmup):
+        out = step(*args)
+    sync(out[-1] if isinstance(out, tuple) else out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = step(*args)
+    sync(out[-1] if isinstance(out, tuple) else out)
+    return (time.perf_counter() - t0) / n
+
+
+def _train_step_fn(model_apply, tx, criterion):
+    def step(params, opt_state, *batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: criterion(model_apply(p, *batch[:-1]), batch[-1]))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+    return jax.jit(step)
+
+
+def bench_linear_video(rng):
+    from video_spike_tpu.models.linear import LinearModel
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+    model = LinearModel(encoder_hidden=(256, 128), encoder_out=64,
+                        decoder_hidden=(128, 256), output_dim=100 * 436)
+    x = jnp.asarray(rng.integers(0, 255, (16, 120 * 128 * 128 // 8, 8),
+                                 dtype=np.uint8).reshape(16, -1))
+    ap = jnp.asarray(rng.poisson(1.0, (16, 100, 436)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:1].astype(jnp.float32))
+    tx = optax.adamw(5e-5, weight_decay=0.01, mu_dtype=jnp.bfloat16)
+    opt = tx.init(params)
+    step = _train_step_fn(
+        lambda p, v: model.apply(p, v.astype(jnp.bfloat16)), tx,
+        poisson_nll_mean)
+    dt = timed(step, params, opt, x, ap)
+    return {"workload": "linear_video_train_step", "batch": 16,
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(16 * 120 / dt, 1)}
+
+
+def bench_vtt(rng):
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer
+    from video_spike_tpu.train.multisession import masked_poisson_nll
+    model = VideoTemporalTransformer(
+        n_sessions=5, max_neurons=668, t_frames=120, t_bins=100,
+        patch_size=16, hidden=256, frame_depth=4, temporal_depth=4,
+        heads=4, mlp_dim=512)
+    B = 8
+    video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
+                                     dtype=np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, 668)).astype(np.float32))
+    sids = jnp.asarray(rng.integers(0, 5, (B,)).astype(np.int32))
+    nmask = jnp.ones((B, 668), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
+    tx = optax.adamw(3e-4, weight_decay=0.01)
+    opt = tx.init(params)
+
+    def step(params, opt_state, video, sids, nmask, ap):
+        loss, grads = jax.value_and_grad(lambda p: masked_poisson_nll(
+            model.apply(p, video, sids), ap, nmask, jnp.float32(B)))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    dt = timed(jstep, params, opt, video, sids, nmask, ap)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    return {"workload": "vtt_flagship_train_step", "batch": B,
+            "params_m": round(n / 1e6, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(B * 120 / dt, 1)}
+
+
+def bench_ssl_base(rng):
+    """The real pretrain recipe: ViT-Base-ish MAE, 144 px, batch 128."""
+    from video_spike_tpu.models.vit_mae import ContrastViTMAE
+    from video_spike_tpu.data.contrast import device_frame_transform
+    from video_spike_tpu.ops.contrastive import loss_fn_
+    cfg = dict(image_size=144, patch_size=16, num_channels=1,
+               hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+               intermediate_size=3072, decoder_hidden_size=512,
+               decoder_num_hidden_layers=8, decoder_num_attention_heads=16,
+               decoder_intermediate_size=2048, mask_ratio=0.75,
+               norm_pix_loss=False, embed_size=3)
+    model = ContrastViTMAE(config=cfg)
+    trip = jnp.asarray(rng.integers(0, 255, (384, 1, 106, 160),
+                                    dtype=np.uint8))
+    x0 = device_frame_transform(trip[:1], 144)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "masking": jax.random.PRNGKey(1)}, x0)
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt = tx.init(params)
+
+    def step(params, opt_state, triplet, key):
+        def loss_fn(p):
+            x = device_frame_transform(triplet, 144)
+            b = x.shape[0] // 3
+            out = model.apply(p, x, rngs={"masking": key})
+            ref, pos, neg = (jax.tree.map(
+                lambda v: v[i * b:(i + 1) * b] if v.ndim > 0 else v, out)
+                for i in range(3))
+            return loss_fn_(ref, pos, neg)["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step)
+    key = jax.random.PRNGKey(2)
+    dt = timed(jstep, params, opt, trip, key, n=10)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    steps_40k_min = 40000 * dt / 60
+    return {"workload": "ssl_vitbase_144px_step", "batch_triplets": 128,
+            "params_m": round(n / 1e6, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+            "recipe_40k_steps_min": round(steps_40k_min, 1)}
+
+
+def bench_metrics(rng):
+    from video_spike_tpu.ops.metrics import bits_per_spike_per_neuron
+    spikes = jnp.asarray(rng.poisson(1.0, (70, 100, 668)).astype(np.float32))
+    rates = jnp.clip(spikes + 0.1, 0.01, None)
+    f = jax.jit(bits_per_spike_per_neuron)
+    dt = timed(f, rates, spikes)
+    return {"workload": "bps_all_neurons_eval", "shape": "70x100x668",
+            "ms": round(dt * 1e3, 3)}
+
+
+def bench_rrr(rng):
+    from video_spike_tpu.models.rrr import train_model_main
+    K, T, C, N = 500, 100, 7, 668
+    X = rng.normal(size=(K, T, C))
+    y = rng.normal(size=(K, T, N))
+    data = {"e": {"X": [X, X[:50]], "y": [y, y[:50]], "setup": {}}}
+    t0 = time.perf_counter()
+    train_model_main(data, l2=100.0, n_comp=3, save=False, max_iter=120)
+    dt = time.perf_counter() - t0
+    return {"workload": "rrr_fit_500x100x668", "seconds": round(dt, 1),
+            "note": "incl. compile; LBFGS 120 iters"}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--skip", nargs="*", default=[])
+    args = parser.parse_args()
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
+    rng = np.random.default_rng(0)
+    benches = {"linear_video": bench_linear_video, "vtt": bench_vtt,
+               "ssl_base": bench_ssl_base, "metrics": bench_metrics,
+               "rrr": bench_rrr}
+    for name, fn in benches.items():
+        if name in args.skip:
+            continue
+        try:
+            print(json.dumps(fn(rng)), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"workload": name, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
