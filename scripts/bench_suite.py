@@ -30,6 +30,7 @@ def sync(x) -> None:
 
 
 def timed(step, *args, n=20, warmup=2):
+    """Time independent dispatches; sync once (small RTT amortization)."""
     out = None
     for _ in range(warmup):
         out = step(*args)
@@ -38,6 +39,20 @@ def timed(step, *args, n=20, warmup=2):
     for _ in range(n):
         out = step(*args)
     sync(out[-1] if isinstance(out, tuple) else out)
+    return (time.perf_counter() - t0) / n
+
+
+def timed_chained(step, params, opt_state, *batch, n=20, warmup=2):
+    """Time a train step by CHAINING params/opt_state through iterations —
+    the device must execute every step, so dispatch elision and the ~29 ms
+    sync RTT can't distort the average (see CLAUDE.md timing notes)."""
+    for _ in range(warmup):
+        params, opt_state, loss = step(params, opt_state, *batch)
+    sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = step(params, opt_state, *batch)
+    sync(loss)
     return (time.perf_counter() - t0) / n
 
 
@@ -64,7 +79,7 @@ def bench_linear_video(rng):
     step = _train_step_fn(
         lambda p, v: model.apply(p, v.astype(jnp.bfloat16)), tx,
         poisson_nll_mean)
-    dt = timed(step, params, opt, x, ap)
+    dt = timed_chained(step, params, opt, x, ap)
     return {"workload": "linear_video_train_step", "batch": 16,
             "ms_per_step": round(dt * 1e3, 2),
             "frames_per_s": round(16 * 120 / dt, 1)}
@@ -93,8 +108,8 @@ def bench_vtt(rng):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    jstep = jax.jit(step)
-    dt = timed(jstep, params, opt, video, sids, nmask, ap)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    dt = timed_chained(jstep, params, opt, video, sids, nmask, ap)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     return {"workload": "vtt_flagship_train_step", "batch": B,
             "params_m": round(n / 1e6, 1),
@@ -135,9 +150,9 @@ def bench_ssl_base(rng):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    jstep = jax.jit(step)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
     key = jax.random.PRNGKey(2)
-    dt = timed(jstep, params, opt, trip, key, n=10)
+    dt = timed_chained(jstep, params, opt, trip, key, n=10)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     steps_40k_min = 40000 * dt / 60
     return {"workload": "ssl_vitbase_144px_step", "batch_triplets": 128,
