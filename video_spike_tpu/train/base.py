@@ -130,7 +130,6 @@ class BaseTrainer:
             config.training.get("device_cache_gb", 6.0))
         self._dev_data = None          # (X_all, ap_all) device arrays
         self._cached_step = None
-        self._cached_eval = None
         self._rng = np.random.default_rng(
             seed if seed is not None else config.get("seed", 42))
 

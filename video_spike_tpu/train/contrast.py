@@ -49,8 +49,7 @@ class ContrastTrainer:
                  max_steps: int = 1000, criterion=loss_fn_,
                  eid: str = "", log_dir: str = "logs",
                  image_size: int = 144, seed: int = 42, log=None,
-                 validate_every: Optional[int] = None,
-                 subsample_seed_parity: bool = True):
+                 validate_every: Optional[int] = None):
         self.model = model
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
