@@ -47,12 +47,16 @@ from video_spike_tpu.train.checkpoint import (
 def make_optimizer(config, total_steps: int):
     """AdamW + OneCycle cosine schedule (torch OneCycleLR conventions:
     initial lr = max_lr / div_factor, final = initial / 1e4;
-    ``/root/reference/src/train.py:44-57``)."""
+    ``/root/reference/src/train.py:44-57``), with optional gradient
+    accumulation (``optimizer.gradient_accumulation_steps`` — present in the
+    reference's config schema but inert there; here it wraps the optimizer
+    in optax.MultiSteps)."""
     opt = config.optimizer
+    accum = int(opt.get("gradient_accumulation_steps", 1) or 1)
     # a handful of steps makes the warmup interval round to zero length
     # inside optax's piecewise interpolation -> nan lr; floor at 16
     schedule = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 16),
+        transition_steps=max(total_steps // accum, 16),
         peak_value=opt.lr,
         pct_start=opt.get("warmup_pct", 0.15),
         div_factor=opt.get("div_factor", 10),
@@ -65,6 +69,8 @@ def make_optimizer(config, total_steps: int):
     tx = optax.adamw(schedule, weight_decay=opt.get("wd", 0.01),
                      eps=opt.get("eps", 1e-8),
                      mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
 
 
@@ -312,11 +318,14 @@ class BaseTrainer:
             ap = np.asarray(batch["ap"])
             x, ap_d, n_valid = self._pad_and_put(inputs, ap)
             out = self._eval_fn(self.params, x)
-            losses.append(float(poisson_nll_mean(out, ap_d, n_valid)))
+            # device scalar; converted once after the loop (syncs cost ~29 ms
+            # RTT each on this runtime)
+            losses.append(poisson_nll_mean(out, ap_d, n_valid))
             out = np.asarray(out)[: ap.shape[0]]
             for i, e in enumerate(batch["eid"]):
                 session[e]["gt"].append(ap[i])
                 session[e]["preds"].append(out[i])
+        losses = [float(l) for l in losses]
         gt, preds = {}, {}
         metric_acc = {k: [] for k in self.metrics}
         for idx, e in enumerate(split_eids):
