@@ -54,10 +54,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, T_FRAMES * H * W), jnp.float32))
-    # bf16 first moments: the 504M-param AdamW update is HBM-bound; this
-    # trims ~2 GB/step of moment traffic at negligible accuracy cost
-    tx = optax.adamw(optax.cosine_onecycle_schedule(10_000, 5e-5),
-                     weight_decay=0.01, eps=1e-8, mu_dtype=jnp.bfloat16)
+    # bf16 Adam moments (ops/optim.adamw_lowmem, convergence-tested against
+    # optax.adamw): the 504M-param update is HBM-bound and this trims
+    # ~4 GB/step of moment traffic
+    from video_spike_tpu.ops.optim import adamw_lowmem
+    tx = adamw_lowmem(optax.cosine_onecycle_schedule(10_000, 5e-5),
+                      weight_decay=0.01, eps=1e-8)
     opt_state = tx.init(params)
 
     def cached_step(params, opt_state, X_all, ap_all, idx):

@@ -62,13 +62,21 @@ def make_optimizer(config, total_steps: int):
         div_factor=opt.get("div_factor", 10),
         final_div_factor=1e4,
     )
-    # optimizer.mu_dtype: bfloat16 trims first-moment HBM traffic on
-    # HBM-bound updates (the raw-video Linear model is ~500M params);
-    # default float32 matches the reference's torch AdamW numerics
-    mu_dtype = opt.get("mu_dtype", None)
-    tx = optax.adamw(schedule, weight_decay=opt.get("wd", 0.01),
-                     eps=opt.get("eps", 1e-8),
-                     mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None)
+    # HBM-bound updates (the raw-video Linear model is ~500M params) can opt
+    # into reduced optimizer-state precision; default float32 matches the
+    # reference's torch AdamW numerics.
+    #   optimizer.lowmem_state: true  -> both Adam moments in bf16 (fastest)
+    #   optimizer.mu_dtype: bfloat16  -> first moment only (optax built-in)
+    if opt.get("lowmem_state"):
+        from video_spike_tpu.ops.optim import adamw_lowmem
+        tx = adamw_lowmem(schedule, weight_decay=opt.get("wd", 0.01),
+                          eps=opt.get("eps", 1e-8))
+    else:
+        mu_dtype = opt.get("mu_dtype", None)
+        tx = optax.adamw(
+            schedule, weight_decay=opt.get("wd", 0.01),
+            eps=opt.get("eps", 1e-8),
+            mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
