@@ -59,6 +59,12 @@ class LinearModel(nn.Module):
     @nn.compact
     def __call__(self, x):
         b = x.shape[0]
+        if x.dtype == jnp.uint8:
+            # raw pixels: scale to [0, 1] on device. (The reference feeds
+            # 0-255 floats straight into the MLP — with lr 5e-5 and default
+            # init the Poisson exp() head overflows; unit-scaled inputs are
+            # the numerically sane equivalent.)
+            x = x.astype(self.compute_dtype) / 255.0
         x = x.reshape(b, -1).astype(self.compute_dtype)
         x = MLP(self.encoder_hidden, self.encoder_out,
                 self.compute_dtype, name="encoder")(x)

@@ -146,6 +146,10 @@ class BaseTrainer:
         self._cached_step = None
         self._rng = np.random.default_rng(
             seed if seed is not None else config.get("seed", 42))
+        self._best_params = None
+        self._best_epoch = -1
+        self._last_best_flush = -(1 << 30)
+        self._save_every = int(config.training.get("save_every", 100) or 100)
 
     # ------------------------------------------------------------------
     # input assembly (reference `_forward_model_outputs`)
@@ -376,10 +380,20 @@ class BaseTrainer:
                     best_bps = eval_res["eval_res"]["eval_bps"]
                     best_loss = eval_res["eval_res"]["eval_loss"]
                     best_epoch = epoch
-                    self.save_model("best", epoch)
+                    # stash best params as an on-device copy (~1 ms); a disk
+                    # checkpoint device_gets the full model through the host
+                    # link (25 s for the 500M-param readout), so it is
+                    # written at the save_every cadence and once at the end
+                    self._best_params = jax.tree.map(jnp.copy, self.params)
+                    self._best_epoch = epoch
+                    if epoch - self._last_best_flush >= self._save_every:
+                        self.save_model("best", epoch)
+                        self._last_best_flush = epoch
                     self._plot_figs(eval_res, epoch=epoch)
             self.log.info(f"{line}")
             self.tracker.log(line, step=self._global_step)
+        if self._best_params is not None:
+            self.save_model("best", self._best_epoch)
         self.save_model("last", num_epochs - 1)
         self.log.info(f"trained {num_epochs} epochs in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps} @ epoch {best_epoch}")
@@ -395,7 +409,10 @@ class BaseTrainer:
                 "test_res": (test_res or {}).get("test_res")}
 
     def test_model(self) -> Optional[dict]:
-        if checkpoint_exists(self.log_dir, "model_best"):
+        if self._best_params is not None:
+            # best params are already resident on device
+            self.params = self._best_params
+        elif checkpoint_exists(self.log_dir, "model_best"):
             restored = load_checkpoint(self.log_dir, "model_best",
                                        {"params": self.params, "epoch": 0})
             self.params = jax.device_put(restored["params"], self.repl)
@@ -405,7 +422,10 @@ class BaseTrainer:
         """``model_best`` holds params only; ``model_last`` adds the
         optimizer state and step counter for true resume (a capability the
         reference lacks — its save is params-only, SURVEY.md §5.4)."""
-        tree = {"params": jax.device_get(self.params), "epoch": epoch}
+        params = (self._best_params
+                  if name == "best" and self._best_params is not None
+                  else self.params)
+        tree = {"params": jax.device_get(params), "epoch": epoch}
         if name == "last":
             tree["opt_state"] = jax.device_get(self.opt_state)
             tree["global_step"] = self._global_step
