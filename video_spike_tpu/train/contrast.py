@@ -81,6 +81,7 @@ class ContrastTrainer:
         self.opt_state = None
         self._train_step = None
         self._embed_fn = None
+        self._best_params = None
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -175,7 +176,11 @@ class ContrastTrainer:
             if val["val_bps"] > best_bps:
                 best_bps = val["val_bps"]
                 self.log.info(f"Best val bps: {best_bps}")
-                self._save_model("best_model")
+                # on-device stash; the disk write (a ~20 s device_get for
+                # ViT-Base through the host link) happens once after fit
+                self._best_params = jax.tree.map(jnp.copy, self.params)
+        if self._best_params is not None:
+            self._save_model("best_model")
         self.log.info(f"Training took: {time.time()-start:.1f} seconds")
         return best_bps
 
@@ -206,7 +211,10 @@ class ContrastTrainer:
                   return_neural: bool = False):
         """Embed every frame of a (trial-level) loader with mask_ratio=0."""
         if use_best:
-            self._load_model("best_model")
+            if self._best_params is not None:  # same-process: device copy
+                self.params = self._best_params
+            else:
+                self._load_model("best_model")
         feats, neurals = [], []
         for batch in data_loader:
             ref = np.asarray(batch["ref"])
@@ -231,8 +239,10 @@ class ContrastTrainer:
     # ------------------------------------------------------------------
     def _save_model(self, name: str) -> None:
         try:
+            params = (self._best_params if name == "best_model"
+                      and self._best_params is not None else self.params)
             save_checkpoint(self.log_dir, name,
-                            {"params": jax.device_get(self.params)})
+                            {"params": jax.device_get(params)})
         except Exception as e:  # keep training on checkpoint failure
             self.log.error(f"Error saving the model: {e}")
 
