@@ -100,7 +100,13 @@ class BaseTrainer:
         self.input_mods = input_modalities(config)
         self.model_class = config.model.model_class
 
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # mesh shape from config (the Accelerate-config analog): e.g.
+        # training.mesh: {data: 4, model: 2}; default = all devices on data
+        if mesh is None:
+            mesh_cfg = config.training.get("mesh", {}) or {}
+            mesh = make_mesh(n_data=mesh_cfg.get("data"),
+                             n_model=mesh_cfg.get("model", 1))
+        self.mesh = mesh
         self.batch_shd = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
 

@@ -61,7 +61,11 @@ class MultiSessionTrainer:
         self.eids = list(eids)
         self.sid = {e: i for i, e in enumerate(self.eids)}
         self.log = make_logger(header="[multisession]")
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh_cfg = config.training.get("mesh", {}) or {}
+            mesh = make_mesh(n_data=mesh_cfg.get("data"),
+                             n_model=mesh_cfg.get("model", 1))
+        self.mesh = mesh
         self.batch_shd = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
         self.log_dir = os.path.join(log_dir, "multi_" + "_".join(
