@@ -61,6 +61,41 @@ def test_rrr_shared_v_multisession(rng):
     assert set(mses) == {"s1", "s2"}
 
 
+def test_rrr_als_matches_lbfgs(rng):
+    """The closed-form ALS solver reaches at-least-LBFGS loss on the same
+    objective, and its validation MSE is within noise of the LBFGS fit."""
+    X, y = _make_lowrank_session(rng, K=50, T=16, C=5, N=12, ncomp=2)
+    data = {"e": {"X": [X[:40], X[40:]], "y": [y[:40], y[40:]], "setup": {}}}
+
+    m_als = RRRGD(data, ncomp=2, l2=5.0)
+    loss_als = m_als.fit(data, solver="als", max_iter=30)
+    m_lb = RRRGD(data, ncomp=2, l2=5.0)
+    loss_lb = m_lb.fit(data, solver="lbfgs", max_iter=150)
+
+    assert np.isfinite(loss_als)
+    assert loss_als <= loss_lb * 1.02, (loss_als, loss_lb)
+    mse_als = np.sum(np.concatenate(list(m_als.compute_MSE(data, 1).values())))
+    mse_lb = np.sum(np.concatenate(list(m_lb.compute_MSE(data, 1).values())))
+    assert mse_als <= mse_lb * 1.05, (mse_als, mse_lb)
+
+
+def test_rrr_als_monotone_and_multisession(rng):
+    """ALS loss decreases with more iterations; shared-V multi-session."""
+    X1, y1 = _make_lowrank_session(rng, N=6)
+    X2, y2 = _make_lowrank_session(rng, N=9)
+    data = {
+        "s1": {"X": [X1[:30], X1[30:]], "y": [y1[:30], y1[30:]], "setup": {}},
+        "s2": {"X": [X2[:30], X2[30:]], "y": [y2[:30], y2[30:]], "setup": {}},
+    }
+    losses = []
+    for n_iter in (1, 4, 16):
+        m = RRRGD(data, ncomp=2, l2=1.0)
+        losses.append(m.fit_als(data, n_iter=n_iter))
+    assert losses[2] <= losses[1] <= losses[0] * (1 + 1e-5), losses
+    assert m.params["s1_U"].shape[0] == 6
+    assert m.params["s2_U"].shape[0] == 9
+
+
 def test_rrr_state_roundtrip(tmp_path, rng):
     X, y = _make_lowrank_session(rng, K=8, T=6, C=3, N=5)
     data = {"e": {"X": [X, X], "y": [y, y], "setup": {}}}
