@@ -217,8 +217,14 @@ def main():
         "num_hidden_layers": 12,
         "num_attention_heads": 12,
         "intermediate_size": 3072,
-        "pretrained": None,  # path to pretrained backbone params, optional
+        # checkpoint to fill the frozen backbone: orbax dir written by
+        # cli/pretrain_videomae, or an HF torch state_dict / .npz
+        "pretrained_backbone": None,
         "freeze_backbone": True,
+        # hf_compat hosts released HF weights (interleaved sinusoid table,
+        # no final encoder layernorm); set false for framework-pretrained
+        # backbones
+        "hf_compat": True,
         "encoder": {"output_dim": 256},
         "decoder": {"output_dim": None},  # overridden: T_bins * n_neurons
     }

@@ -39,6 +39,52 @@ def test_cli_train_end_to_end(tiny_session, tmp_path):
     assert "test_res" in saved and "test_bps" in saved["test_res"]
 
 
+def test_pretrain_videomae_then_probe(tiny_session, tmp_path):
+    """pretrain_videomae CLI -> probe training with pretrained_backbone:
+    the zero-egress replacement for the reference's MCG-NJU download."""
+    import yaml
+    from video_spike_tpu.cli.pretrain_videomae import main as pretrain_main
+    from video_spike_tpu.cli.train import main as train_main
+
+    tiny_model = {
+        "model_class": "VideoMAE",
+        "image_size": 32, "patch_size": 8, "num_channels": 3,
+        "num_frames": 4, "tubelet_size": 2, "hidden_size": 16,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 32,
+        "pretrained_backbone": None, "freeze_backbone": True,
+        "hf_compat": False,
+        "encoder": {"output_dim": 8}, "decoder": {"output_dim": None},
+    }
+    model_yaml = tmp_path / "tiny_vmae.yaml"
+    model_yaml.write_text(yaml.safe_dump(tiny_model))
+
+    ckpt = pretrain_main([
+        "--model_config", str(model_yaml),
+        "--train_config", "configs/train/vmae_video.yaml",
+        "--eid", "abcde0000",
+        "--data_dir", str(tiny_session),
+        "--max_steps", "4",
+        "--batch_size", "4",
+        "--mask_ratio", "0.5",
+        "--log_dir", str(tmp_path),
+    ])
+    assert (tmp_path / "abcde" / "VideoMAEPretrain" / "backbone").exists()
+
+    tiny_model["pretrained_backbone"] = str(ckpt)
+    model_yaml.write_text(yaml.safe_dump(tiny_model))
+    res = train_main([
+        "--model_config", str(model_yaml),
+        "--train_config", "configs/train/vmae_video.yaml",
+        "--eid", "abcde0000",
+        "--data_dir", str(tiny_session),
+        "--num_epochs", "2",
+        "--batch_size", "4",
+        "--log_dir", str(tmp_path / "probe"),
+    ])
+    assert np.isfinite(res["best_eval_bps"])
+
+
 def test_trainer_learns(tiny_session, tmp_path):
     """Loss must drop substantially over epochs on a learnable fixture."""
     from video_spike_tpu.core.config import config_from_kwargs

@@ -72,6 +72,10 @@ class VideoMAEBackbone(nn.Module):
     num_attention_heads: int = 12
     intermediate_size: int = 3072
     dtype: Any = jnp.bfloat16
+    # hf_compat hosts released HF VideoMAE weights faithfully: the
+    # interleaved sinusoid table and no final layernorm (HF
+    # ``VideoMAEModel`` with ``use_mean_pooling=True``, the MCG-NJU config)
+    hf_compat: bool = False
 
     @property
     def seq_len(self) -> int:
@@ -83,11 +87,13 @@ class VideoMAEBackbone(nn.Module):
         x = TubeletEmbed(self.hidden_size, self.patch_size,
                          self.tubelet_size, self.dtype,
                          name="patch_embed")(video)
-        pos = jnp.asarray(sincos_pos_embed_1d(self.hidden_size, self.seq_len))
+        pos = jnp.asarray(sincos_pos_embed_1d(self.hidden_size, self.seq_len,
+                                              interleaved=self.hf_compat))
         x = x + pos[None].astype(x.dtype)
         x = Encoder(self.num_hidden_layers, self.hidden_size,
                     self.num_attention_heads, self.intermediate_size,
-                    self.dtype, name="encoder")(x)
+                    self.dtype, final_norm=not self.hf_compat,
+                    name="encoder")(x)
         return x  # (B, L, D) last hidden state
 
 
@@ -204,11 +210,17 @@ class VideoMAEProbe(nn.Module):
             num_hidden_layers=cfg.get("num_hidden_layers", 12),
             num_attention_heads=cfg.get("num_attention_heads", 12),
             intermediate_size=cfg.get("intermediate_size", 3072),
+            # default True: the probe's purpose is hosting released HF
+            # weights (reference freezes MCG-NJU/videomae-base,
+            # /root/reference/src/model/videomae.py:8); set False when
+            # grafting a backbone pretrained by this framework
+            hf_compat=cfg.get("hf_compat", True),
             name="video_mae")
         x = preprocess_frames(video, num_frames, image_size,
                               source_frames=video.shape[1])
         hidden = backbone(x)
-        hidden = jax.lax.stop_gradient(hidden)  # frozen backbone
+        if cfg.get("freeze_backbone", True):
+            hidden = jax.lax.stop_gradient(hidden)
         b = hidden.shape[0]
         flat = hidden.reshape(b, -1).astype(jnp.float32)
         enc_out = cfg["encoder"]["output_dim"]

@@ -56,7 +56,18 @@ def sincos_pos_embed_2d(dim: int, grid_size: int,
     return emb.astype(np.float32)
 
 
-def sincos_pos_embed_1d(dim: int, length: int) -> np.ndarray:
+def sincos_pos_embed_1d(dim: int, length: int,
+                        interleaved: bool = False) -> np.ndarray:
+    """1-D sinusoid table. ``interleaved=True`` matches the HF VideoMAE
+    layout (``get_sinusoid_encoding_table``: even dims sin, odd dims cos,
+    frequency shared per pair) — required when hosting released HF weights;
+    the default concatenated layout is the framework-native convention."""
+    if interleaved:
+        pos = np.arange(length, dtype=np.float64)[:, None]
+        angle = pos / np.power(10000, 2 * (np.arange(dim) // 2) / dim)
+        angle[:, 0::2] = np.sin(angle[:, 0::2])
+        angle[:, 1::2] = np.cos(angle[:, 1::2])
+        return angle.astype(np.float32)
     return _sincos_1d(dim, np.arange(length, dtype=np.float64)).astype(
         np.float32)
 
@@ -143,7 +154,7 @@ class Block(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # erf GELU, HF "gelu" semantics
         y = nn.Dense(self.hidden, dtype=self.dtype)(y)
         return x + y
 
@@ -155,13 +166,16 @@ class Encoder(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.bfloat16
     eps: float = 1e-12
+    final_norm: bool = True  # HF VideoMAEModel(use_mean_pooling) omits it
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.depth):
             x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
                       self.eps)(x)
-        return nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        return x
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,17 @@ class BaseTrainer:
             return
         with jax.default_device(jax.devices()[0]):
             params = self.model.init(self.keys(), jnp.asarray(sample_inputs[:1]))
+        pretrained = self.config.model.get("pretrained_backbone")
+        if pretrained:
+            # frozen-probe models (VideoMAE) load a pretrained backbone —
+            # the reference's from_pretrained("MCG-NJU/videomae-base")
+            # (/root/reference/src/model/videomae.py:8) becomes an explicit
+            # on-disk checkpoint: orbax dir (our pretraining) or HF torch
+            # state_dict / npz (released weights)
+            from video_spike_tpu.models.hf_convert import (
+                load_pretrained_into_probe)
+            params = load_pretrained_into_probe(params, pretrained)
+            self.log.info(f"loaded pretrained backbone from {pretrained}")
         self.params = jax.device_put(params, self.repl)
         self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -375,10 +386,15 @@ class BaseTrainer:
         best_loss = np.inf
         best_epoch = -1
         num_epochs = self.config.training.num_epochs
+        eval_every = int(self.config.training.get("eval_every") or 1)
         t0 = time.time()
         for epoch in range(self._start_epoch, num_epochs):
             train_res = self.train_epoch()
-            eval_res = self.eval_epoch()
+            # evaluate on the cadence and always on the final epoch (best-
+            # checkpoint selection needs the last point)
+            eval_res = (self.eval_epoch()
+                        if (epoch % eval_every == 0
+                            or epoch == num_epochs - 1) else None)
             line = {"epoch": epoch, **train_res}
             if eval_res:
                 line.update(eval_res["eval_res"])
