@@ -42,6 +42,31 @@ BINSIZE = 0.02         # 20 ms spike bins
 FREQ = 60              # behavior/video rate
 
 
+def select_bwm_eids(csv_path: str | Path = "data/bwm_release.csv",
+                    n_sessions: int = 6, seed: int = 42) -> list:
+    """One session per randomly drawn subject from the brain-wide-map freeze
+    manifest (parity with ``/root/reference/src/prepare_data.py:55-61``)."""
+    import pandas as pd
+    np.random.seed(seed)
+    bwm_df = pd.read_csv(csv_path, index_col=0)
+    subjects = np.unique(bwm_df.subject)
+    selected = np.random.choice(subjects, n_sessions, replace=False)
+    by_subject = bwm_df.groupby("subject")
+    return [bwm_df.eid[by_subject.groups[sub][0]] for sub in selected]
+
+
+def select_eids(args) -> list:
+    """Session list for ingestion: explicit --eid, the BWM manifest draw, or
+    the first n_sessions of data/eid.txt (``prepare_data.py:52-64``)."""
+    if args.eid:
+        return [args.eid]
+    if args.datasets == "brain-wide-map":
+        return select_bwm_eids(n_sessions=args.n_sessions, seed=args.seed)
+    eids = [l.strip() for l in Path("data/eid.txt").read_text().splitlines()
+            if l.strip()]
+    return eids[:args.n_sessions]
+
+
 def etl_session(raw: dict, out_dir: str | Path, eid: str,
                 store_video_as: str = "npy", min_rate_hz: float = 2.0,
                 flow_backend: str = "jax") -> list:
@@ -131,11 +156,16 @@ def main(argv=None):
     from video_spike_tpu.core.runtime import setup_runtime
     setup_runtime()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--eid", type=str, required=True)
+    parser.add_argument("--eid", type=str, default=None,
+                        help="one session; omit to draw from --datasets")
     parser.add_argument("--base_path", type=str, required=True,
                         help="output directory for trial tars")
     parser.add_argument("--source", type=str, default="local",
                         choices=["local", "one"])
+    parser.add_argument("--datasets", type=str, default="reproducible-ephys",
+                        choices=["reproducible-ephys", "brain-wide-map"])
+    parser.add_argument("--n_sessions", type=int, default=6)
+    parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--raw_npz", type=str, default=None,
                         help="raw session npz (local mode)")
     parser.add_argument("--video_format", type=str, default="npy",
@@ -146,11 +176,23 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.source == "one":
+        # full ONE orchestration (mock-tested in tests/test_one_ingest.py);
+        # the only network edges are ONE construction + ibllib providers
         from video_spike_tpu.data.ibl import load_one_session
-        load_one_session(args.eid)  # raises with guidance if ibllib missing
-        raise NotImplementedError(
-            "ONE-api ingestion requires ibllib; see data/ibl.py")
+        from video_spike_tpu.data.one_ingest import ingest_one_session
+        eids = select_eids(args)
+        one = load_one_session(eids[0])
+        files = []
+        for eid in eids:
+            print(f"Preprocess session {eid}:")
+            files += ingest_one_session(
+                one, eid, args.base_path,
+                store_video_as=args.video_format,
+                flow_backend=args.flow_backend)
+        print(f"wrote {len(files)} trial shards to {args.base_path}")
+        return files
 
+    assert args.eid, "--eid required in local mode"
     assert args.raw_npz, "--raw_npz required in local mode"
     raw = dict(np.load(args.raw_npz, allow_pickle=True))
     files = etl_session(raw, args.base_path, args.eid,
