@@ -1,0 +1,57 @@
+"""Two-process jax.distributed smoke over the DCN path (CPU + gloo).
+
+Covers ``core/runtime.py``'s coordinator-env initialization and
+``make_array_from_process_local_data`` batch assembly by actually spawning
+two processes and asserting they agree on the global loss — the off-TPU
+equivalent of a 2-host pod (SURVEY.md §5.8).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(180)
+def test_two_process_global_mesh_step():
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "DCN_SMOKE_FORCE_CPU": "1",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": os.pathsep.join(
+            [os.getcwd(), env_base.get("PYTHONPATH", "")]),
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "video_spike_tpu.parallel.dcn_smoke"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = [p.communicate(timeout=150)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    losses = []
+    for pid, out in enumerate(outs):
+        assert f"pid={pid} process_count=2" in out, out
+        assert "global_devices=4" in out, out
+        m = re.search(r"global_loss=([-\d.]+)", out)
+        assert m, out
+        losses.append(float(m.group(1)))
+    # the loss is a global mean over the sharded batch: identical everywhere
+    assert losses[0] == losses[1], losses

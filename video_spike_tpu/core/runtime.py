@@ -31,11 +31,19 @@ def setup_runtime(cache_dir: str | None = None) -> None:
     except Exception:
         pass  # older jax or read-only fs: run without the cache
 
-    # multi-host pods: initialize the distributed runtime when the standard
-    # coordinator env vars are present (single-host runs skip this)
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:  # pragma: no cover - requires a real pod
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    # multi-host pods: initialize the distributed runtime when the
+    # coordinator env vars are present. This must run BEFORE any backend
+    # query (jax.devices()/process_count() would initialize the backend and
+    # make initialize() a no-op — exactly the bug this guard used to have).
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc) if nproc else None,
+                process_id=int(pid) if pid else None)
+        except RuntimeError:
+            pass  # already initialized (e.g. repeated setup in one process)
     _DONE = True
