@@ -1,0 +1,160 @@
+"""Ablation profile of the VTT flagship train step (BASELINE.md breakdown).
+
+Times, on the real chip, with chained scans (one device sync total — see
+CLAUDE.md on the tunnel RTT):
+
+  1. full train step (fwd+bwd+adamw), the production configuration;
+  2. frame-encoder-only train step (the (B*T, 64-token) ViT);
+  3. temporal-stack-only train step (temporal blocks + resample + heads +
+     Poisson loss on precomputed frame embeddings);
+  4. full forward only.
+
+    python scripts/profile_vtt.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def chained(step, carry0, xs_const, iters):
+    """Steady-state seconds/iter: scan the step with the carry threaded so
+    nothing can be elided, sync once at the end via device_get."""
+    def body(carry, _):
+        return step(carry, *xs_const), None
+
+    run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=iters)[0])
+    out = run(carry0)                      # compile + warm
+    jax.tree.map(lambda a: a.block_until_ready(), out)
+    t0 = time.time()
+    out = run(out)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # tunnel-safe barrier
+    return (time.time() - t0) / iters
+
+
+def main():
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer, FrameEncoder
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+
+    B, T, HW, N, S = 8, 120, 128, 668, 5
+    hidden = 256
+    iters = int(os.environ.get("VTT_PROFILE_ITERS", 20))
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.integers(0, 255, (B, T, 1, HW, HW), np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
+    sids = jnp.asarray(rng.integers(0, S, (B,)).astype(np.int32))
+
+    model = VideoTemporalTransformer(
+        n_sessions=S, max_neurons=N, t_frames=T, t_bins=100, patch_size=16,
+        hidden=hidden, frame_depth=4, temporal_depth=4, heads=4,
+        mlp_dim=2 * hidden)
+    params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    results = {}
+
+    # 1. full train step
+    def full_step(carry, video, ap, sids):
+        params, opt_state = carry
+        def loss_fn(p):
+            return poisson_nll_mean(model.apply(p, video, sids), ap)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    dt = chained(full_step, (params, opt_state), (video, ap, sids), iters)
+    results["full_train_step_ms"] = dt * 1e3
+    results["frames_per_s"] = B * T / dt
+
+    # 2. frame encoder only (fwd+bwd, same (B*T) frame batch)
+    fe = FrameEncoder(16, hidden, 4, 4, 2 * hidden, name="frame_encoder")
+    frames = (video.astype(jnp.float32) / 255.0).reshape(B * T, 1, HW, HW)
+    fe_params = {"params": params["params"]["frame_encoder"]}
+
+    def fe_step(p, frames):
+        g = jax.grad(lambda p: jnp.mean(fe.apply(p, frames) ** 2))(p)
+        return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+
+    results["frame_encoder_ms"] = chained(fe_step, fe_params, (frames,),
+                                          iters) * 1e3
+
+    # 3. temporal stack only (fwd+bwd on precomputed embeddings)
+    emb = jnp.asarray(rng.normal(size=(B, T, hidden)).astype(np.float32))
+
+    import flax.linen as nn
+    from video_spike_tpu.models.vit_mae import Block, sincos_pos_embed_1d
+    from video_spike_tpu.models.vtt import time_resample_init
+
+    class TemporalOnly(nn.Module):
+        @nn.compact
+        def __call__(self, h, session_ids):  # the VTT minus frame encoder
+            pos = sincos_pos_embed_1d(hidden, h.shape[1])
+            h = h + jnp.asarray(pos)[None].astype(h.dtype)
+            for _ in range(4):
+                h = Block(hidden, 4, 2 * hidden)(h)
+            h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
+            resample = self.param(
+                "time_resample",
+                lambda key: jnp.asarray(time_resample_init(T, 100)))
+            h = jnp.einsum("btd,tz->bzd", h, resample,
+                           preferred_element_type=jnp.float32)
+            W = self.param("session_heads", nn.initializers.normal(0.02),
+                           (S, hidden, N))
+            b = self.param("session_bias", nn.initializers.zeros, (S, N))
+            out = jnp.einsum("bzd,bdn->bzn", h.astype(jnp.float32),
+                             W[session_ids],
+                             preferred_element_type=jnp.float32)
+            return out + b[session_ids][:, None, :]
+
+    tmodel = TemporalOnly()
+    tparams = tmodel.init(jax.random.PRNGKey(1), emb, sids)
+
+    def t_step(p, emb, ap, sids):
+        g = jax.grad(lambda p: poisson_nll_mean(
+            tmodel.apply(p, emb, sids), ap))(p)
+        return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g)
+
+    results["temporal_stack_ms"] = chained(t_step, tparams, (emb, ap, sids),
+                                           iters) * 1e3
+
+    # 4. forward only
+    def fwd(p, video, sids):
+        out = model.apply(p, video, sids)
+        return jax.tree.map(lambda a: a, p), out  # thread params
+
+    def fwd_step(carry, video, sids):
+        p, _ = carry
+        return fwd(p, video, sids)
+
+    results["forward_ms"] = chained(
+        fwd_step, (params, jnp.zeros((B, 100, N))), (video, sids),
+        iters) * 1e3
+
+    # model FLOPs/step (fwd+bwd ~= 3x fwd) for an MFU estimate
+    s_tok, d, mlp = (HW // 16) ** 2, hidden, 2 * hidden
+    per_layer = (8 * s_tok * d * d + 4 * s_tok * s_tok * d
+                 + 4 * s_tok * d * mlp)
+    fe_flops = B * T * (4 * per_layer + 2 * s_tok * d * 16 * 16)
+    tl_flops = B * (4 * (8 * T * d * d + 4 * T * T * d + 4 * T * d * mlp))
+    head_flops = B * 2 * 100 * d * N
+    results["model_tflops_per_step"] = 3 * (fe_flops + tl_flops
+                                            + head_flops) / 1e12
+    results["mfu_pct"] = (results["model_tflops_per_step"]
+                          / (dt * 197)) * 100  # v5e bf16 peak ~197 TFLOPS
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,13 @@ keys ``ap / choice / block / wheel-speed / whisker-motion-energy /
 whisker-of / whisker-of-2d / whisker-of-video / timestamp`` plus ``video``
 and ``whisker-video``.
 
-``--source one`` needs ibllib (not bundled here) and is gated; ``--raw_npz``
-consumes the synthetic raw-session format from
+``--source one`` runs the full ONE-api orchestration
+(:mod:`video_spike_tpu.data.one_ingest`, mock-tested end-to-end) and only
+requires ibllib at the network edge; ``--raw_npz`` consumes the synthetic
+raw-session format from
 :func:`video_spike_tpu.data.synthetic.make_raw_session`, exercising the full
-ETL without network access.
+ETL without network access. Sessions come from ``--eid``, ``data/eid.txt``,
+or a ``--datasets brain-wide-map`` draw over ``data/bwm_release.csv``.
 """
 
 from __future__ import annotations

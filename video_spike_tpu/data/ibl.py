@@ -254,8 +254,9 @@ def merge_probes(spikes_list, clusters_meta_list):
 # ---------------------------------------------------------------------------
 
 def load_one_session(eid: str, base_url: str = "https://openalyx.internationalbrainlab.org"):
-    """Download spikes/behaviors/trials via the ONE api. Raises a clear
-    error when ibllib is unavailable (it is not bundled in this image)."""
+    """ONE handle for :mod:`video_spike_tpu.data.one_ingest` (the full
+    orchestration lives there, mock-tested). Raises a clear error when
+    ibllib is unavailable (it is not bundled in this image)."""
     try:
         from one.api import ONE  # type: ignore
     except ImportError as e:  # pragma: no cover

@@ -117,8 +117,9 @@ def unpatchify(patches: jax.Array, patch: int, channels: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention with the fused Pallas core on TPU
-    (QK^T + softmax + PV in one VMEM residency; jnp fallback off-TPU)."""
+    """Multi-head self-attention in the transpose-free (B, S, H, D) layout
+    (9x faster than the head-transposed layout on these shapes — measured
+    numbers in :mod:`video_spike_tpu.ops.attention`)."""
 
     hidden: int
     heads: int
@@ -126,16 +127,14 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from video_spike_tpu.ops.pallas.attention_kernel import fused_attention
+        from video_spike_tpu.ops.attention import attention_bshd
 
         B, S, _ = x.shape
         head_dim = self.hidden // self.heads
         qkv = nn.Dense(3 * self.hidden, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, self.heads, head_dim)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3))
-                   for i in range(3))
-        out = fused_attention(q, k, v)                  # (B, H, S, Dh) f32
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, S, self.hidden)
+        out = attention_bshd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        out = out.reshape(B, S, self.hidden)
         return nn.Dense(self.hidden, dtype=self.dtype, name="proj")(
             out.astype(self.dtype))
 
@@ -146,6 +145,10 @@ class Block(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.bfloat16
     eps: float = 1e-12
+    # exact erf GELU matches HF "gelu" semantics (required on weight-import
+    # backbones); from-scratch models opt into the tanh approximation,
+    # measured -22% on the VTT frame-encoder step (BASELINE.md)
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -154,7 +157,7 @@ class Block(nn.Module):
         x = x + y
         y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y, approximate=False)  # erf GELU, HF "gelu" semantics
+        y = nn.gelu(y, approximate=self.gelu_approx)
         y = nn.Dense(self.hidden, dtype=self.dtype)(y)
         return x + y
 
