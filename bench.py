@@ -1,7 +1,7 @@
 """Training-throughput benchmark: frames/sec/chip on the flagship workload.
 
 Measures the reference's headline path (``train.sh``: Linear readout on raw
-120x128x128 video, batch 16, AdamW + OneCycle + fused Poisson NLL — see
+120x128x128 video, batch 16, AdamW + OneCycle + Poisson NLL — see
 ``/root/reference/config/train/linear_video.yaml:19-23`` and BASELINE.md) in
 the framework's production configuration: the session's trials are staged in
 HBM once (an IBL session is ~1-2 GB, far below HBM; `BaseTrainer` does the

@@ -178,10 +178,16 @@ def bench_rrr(rng):
     y = rng.normal(size=(K, T, N))
     data = {"e": {"X": [X, X[:50]], "y": [y, y[:50]], "setup": {}}}
     t0 = time.perf_counter()
-    train_model_main(data, l2=100.0, n_comp=3, save=False, max_iter=120)
-    dt = time.perf_counter() - t0
-    return {"workload": "rrr_fit_500x100x668", "seconds": round(dt, 1),
-            "note": "incl. compile; LBFGS 120 iters"}
+    train_model_main(data, l2=100.0, n_comp=3, save=False)  # ALS default
+    dt_als = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    train_model_main(data, l2=100.0, n_comp=3, save=False, max_iter=120,
+                     solver="lbfgs")
+    dt_lbfgs = time.perf_counter() - t0
+    return {"workload": "rrr_fit_500x100x668",
+            "als_seconds": round(dt_als, 1),
+            "lbfgs_seconds": round(dt_lbfgs, 1),
+            "note": "incl. compile; ALS is the production solver"}
 
 
 def main():

@@ -39,6 +39,39 @@ def test_cli_train_end_to_end(tiny_session, tmp_path):
     assert "test_res" in saved and "test_bps" in saved["test_res"]
 
 
+def test_eval_every_controls_cadence(tiny_session, tmp_path, monkeypatch):
+    """training.eval_every=N evaluates every Nth epoch plus the final one."""
+    from video_spike_tpu.core.config import config_from_kwargs
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    config = config_from_kwargs(
+        {"model": "include:configs/model/linear_of-ws.yaml"})
+    config = update_config("configs/train/linear_of-ws.yaml", config)
+    config["dirs"]["data_dir"] = str(tiny_session)
+    config["training"]["num_epochs"] = 5
+    config["training"]["train_batch_size"] = 8
+    config["training"]["eval_every"] = 3
+
+    split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+    train_dl, val_dl, test_dl = make_loader(config, split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = NAME2MODEL[config.model.model_class].from_config(config.model)
+    trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                          eid="abcde0000", dataset_split_dict=split,
+                          log_dir=str(tmp_path))
+    calls = []
+    orig = trainer.eval_epoch
+    monkeypatch.setattr(trainer, "eval_epoch",
+                        lambda: calls.append(1) or orig())
+    trainer.train()
+    assert len(calls) == 3  # epochs 0, 3, and the final epoch 4
+
+
 def test_pretrain_videomae_then_probe(tiny_session, tmp_path):
     """pretrain_videomae CLI -> probe training with pretrained_backbone:
     the zero-egress replacement for the reference's MCG-NJU download."""

@@ -9,7 +9,8 @@ CLI parity with ``/root/reference/src/train_rrr.py:32-248``:
 3. one-hot choice/block for the composite modalities,
 4. standardize X/y by train stats, append a bias column,
 5. subsample 100 of 120 timesteps of X (sorted random choice),
-6. fit per-session RRR (l2=100, ncomp=3) with LBFGS,
+6. fit per-session RRR (l2=100, ncomp=3; closed-form ALS, same objective
+   as the reference's LBFGS),
 7. report per-neuron co-bps + R² and save ``<input_mod>_result.npy``.
 """
 

@@ -93,6 +93,7 @@ class VideoMAEBackbone(nn.Module):
         x = Encoder(self.num_hidden_layers, self.hidden_size,
                     self.num_attention_heads, self.intermediate_size,
                     self.dtype, final_norm=not self.hf_compat,
+                    gelu_approx=not self.hf_compat,  # HF "gelu" = exact erf
                     name="encoder")(x)
         return x  # (B, L, D) last hidden state
 

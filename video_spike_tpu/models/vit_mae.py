@@ -145,10 +145,10 @@ class Block(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.bfloat16
     eps: float = 1e-12
-    # exact erf GELU matches HF "gelu" semantics (required on weight-import
-    # backbones); from-scratch models opt into the tanh approximation,
-    # measured -22% on the VTT frame-encoder step (BASELINE.md)
-    gelu_approx: bool = False
+    # tanh GELU by default (-22% on the VTT frame-encoder step, BASELINE.md;
+    # architecturally equivalent for from-scratch training). Weight-import
+    # backbones set gelu_approx=False for HF "gelu" (erf) semantics.
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -170,12 +170,13 @@ class Encoder(nn.Module):
     dtype: Any = jnp.bfloat16
     eps: float = 1e-12
     final_norm: bool = True  # HF VideoMAEModel(use_mean_pooling) omits it
+    gelu_approx: bool = True  # see Block
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.depth):
             x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      self.eps)(x)
+                      self.eps, gelu_approx=self.gelu_approx)(x)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         return x

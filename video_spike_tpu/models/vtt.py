@@ -70,8 +70,7 @@ class FrameEncoder(nn.Module):
         pos = sincos_pos_embed_2d(self.hidden, grid, cls_token=False)
         x = x + jnp.asarray(pos)[None].astype(x.dtype)
         for _ in range(self.depth):
-            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      gelu_approx=True)(x)
+            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype)(x)
         x = nn.LayerNorm(dtype=jnp.float32)(x)
         return jnp.mean(x, axis=1)  # (N, D)
 
@@ -121,7 +120,7 @@ class VideoTemporalTransformer(nn.Module):
         h = h + jnp.asarray(pos)[None].astype(h.dtype)
         for _ in range(self.temporal_depth):
             h = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      gelu_approx=True, name=None)(h)
+                      name=None)(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
 
         # learned time resampling 120 frames -> 100 bins

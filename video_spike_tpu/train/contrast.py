@@ -15,8 +15,8 @@ Capability parity with ``/root/reference/src/trainer/contrast.py:10-246``:
 TPU-first mechanics: the triplet is stacked into one (3B, ...) forward so
 the encoder runs a single large MXU batch instead of three small ones;
 uint8 frames are resized/normalized on device; the nested RRR validation is
-the jitted LBFGS fit from :mod:`video_spike_tpu.train.rrr_pipeline` instead
-of a torch LBFGS rebuild per validation.
+the closed-form ALS fit from :mod:`video_spike_tpu.train.rrr_pipeline`
+(~3 s warm at recipe shape) instead of a torch LBFGS rebuild per validation.
 """
 
 from __future__ import annotations

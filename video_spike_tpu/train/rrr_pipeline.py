@@ -6,7 +6,8 @@ contrast.py:129-162``):
 
 1. standardize X and y by train-split stats (std clipped at 1e-8),
 2. append a bias column of ones to X,
-3. fit RRR (l2=100, ncomp=3) per session with LBFGS,
+3. fit RRR (l2=100, ncomp=3) per session — closed-form ALS by default,
+   LBFGS available for parity (``models/rrr.py``),
 4. predict the held-out split, un-standardize, clip rates at 1e-3,
 5. per-neuron bits-per-spike and per-trial R² against the *unsmoothed*
    ground truth stored before standardization.
