@@ -46,7 +46,8 @@ def main():
     from video_spike_tpu.models.vtt import VideoTemporalTransformer, FrameEncoder
     from video_spike_tpu.ops.poisson import poisson_nll_mean
 
-    B, T, HW, N, S = 8, 120, 128, 668, 5
+    B = int(os.environ.get("VTT_PROFILE_BATCH", 8))
+    T, HW, N, S = 120, 128, 668, 5
     hidden = 256
     iters = int(os.environ.get("VTT_PROFILE_ITERS", 20))
     rng = np.random.default_rng(0)

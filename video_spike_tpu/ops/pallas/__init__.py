@@ -1,0 +1,19 @@
+"""Pallas TPU kernels — currently empty, deliberately.
+
+Three hand-written kernels were built, benchmarked against XLA's fusion on
+the real chip at the production shapes, and retired when they lost:
+
+- Poisson-NLL (exp+mul+reduce): XLA ties at (16,100,668) and wins 3.3x at
+  (256,100,668) — measurements in ``ops/poisson.py``.
+- fused attention (QK^T+softmax+PV per (batch,head)): the real cost was
+  head-transpose layout, not fusion; the transpose-free einsum layout is
+  9x faster and XLA-fused — measurements in ``ops/attention.py``.
+- fused InfoNCE (similarity matmul + logsumexp): XLA wins 10-30x at every
+  production shape — measurements in ``ops/contrastive.py``.
+
+This workload's hot ops are small-sequence matmul shapes that XLA already
+schedules optimally (SURVEY.md §5.7: 64-121 tokens, 100 spike bins); the
+performance levers that actually moved the numbers were layout, precision
+policy (bf16 matmuls / f32 accumulation+softmax), device-resident data, and
+donated buffers. New kernels belong here only with a measured win attached.
+"""
