@@ -282,6 +282,33 @@ def test_ingest_one_session_end_to_end(one, providers, tmp_path):
     assert sample["meta"]["sample_freq"] == 30000.0
 
 
+def test_brain_region_selection(one, providers, session):
+    """list/select_brain_regions parity: the per-probe REG0/REG1 acronyms
+    partition the merged clusters (identity Beryl mapping injected)."""
+    parts = [oi.load_spiking_data(one, pid, providers)[:2]
+             for pid in ("pid-a", "pid-b")]
+    spikes, clusters = oi.merge_probe_dataframes(
+        [p[0] for p in parts], [p[1] for p in parts])
+    neural = {"spike_times": spikes["times"],
+              "spike_clusters": spikes["clusters"],
+              "cluster_regions": clusters["acronym"].to_numpy()}
+
+    regions, beryl = oi.list_brain_regions(neural, single_region=False,
+                                           acronym2acronym=lambda a: a)
+    assert len(regions) == 1 and set(regions[0]) == {"REG0", "REG1"}
+    all_ids = oi.select_brain_regions(beryl, regions[0])
+    assert len(all_ids) == 2 * N_NEURONS_PER_PROBE
+
+    regions_1, _ = oi.list_brain_regions(neural, single_region=True,
+                                         acronym2acronym=lambda a: a)
+    assert len(regions_1) == 2
+    reg0_ids = oi.select_brain_regions(beryl, ["REG0"])
+    assert len(reg0_ids) == N_NEURONS_PER_PROBE
+    binned, used, _ = oi.bin_spiking_data(reg0_ids, neural,
+                                          trials_df=session["trials"])
+    assert binned.shape[-1] == N_NEURONS_PER_PROBE
+
+
 def test_select_bwm_eids_from_manifest():
     """The shipped 700-row BWM freeze manifest drives session selection
     exactly like /root/reference/src/prepare_data.py:55-61."""

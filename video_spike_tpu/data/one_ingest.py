@@ -59,6 +59,7 @@ DEFAULT_NAN_EXCLUDE = (
 DEFAULT_PARAMS = {
     "interval_len": 2,
     "binsize": 0.02,
+    "single_region": False,
     "align_time": "stimOn_times",
     "time_window": (-0.5, 1.5),
     "fr_thresh": 0.5,
@@ -157,6 +158,32 @@ def merge_probe_dataframes(spikes_list, clusters_list):
               for k in merged_spikes[0]}
     order = np.argsort(spikes["times"], kind="stable")
     return {k: v[order] for k, v in spikes.items()}, clusters
+
+
+def list_brain_regions(neural_dict: Dict, single_region: bool = False,
+                       acronym2acronym=None, **_):
+    """Beryl-mapped region sets present in the recording
+    (``ibl_data_utils.py:230-237``). ``acronym2acronym`` injects the
+    iblatlas mapping; identity (raw acronyms) when absent so the
+    select-all path works without iblatlas."""
+    regions_raw = np.asarray(neural_dict["cluster_regions"])
+    if acronym2acronym is None:
+        try:  # pragma: no cover - needs iblatlas
+            from iblatlas.regions import BrainRegions
+            acronym2acronym = lambda a: BrainRegions().acronym2acronym(
+                a, mapping="Beryl")
+        except ImportError:
+            acronym2acronym = lambda a: a
+    beryl = np.asarray(acronym2acronym(regions_raw))
+    uniq = np.unique(beryl)
+    regions = [[r] for r in uniq] if single_region else [uniq]
+    return regions, beryl
+
+
+def select_brain_regions(beryl_reg, region, **_) -> np.ndarray:
+    """Cluster indices whose Beryl region is in ``region``
+    (``ibl_data_utils.py:239-244``)."""
+    return np.argwhere(np.isin(beryl_reg, region)).flatten()
 
 
 # ---------------------------------------------------------------------------
@@ -471,9 +498,11 @@ def ingest_one_session(one, eid: str, base_path: str | Path,
     neural_dict, behave_dict, meta_data, trials_data = prepare_session(
         one, eid, providers, n_workers=n_workers)
 
-    all_clusters = np.unique(neural_dict["spike_clusters"])
+    regions, beryl = list_brain_regions(
+        neural_dict, single_region=params.get("single_region", False))
+    reg_clu_ids = select_brain_regions(beryl, regions[0])
     binned_spikes, clusters_used, intervals = bin_spiking_data(
-        all_clusters, neural_dict, trials_df=trials_data["trials_df"],
+        reg_clu_ids, neural_dict, trials_df=trials_data["trials_df"],
         align_time=params["align_time"], time_window=params["time_window"],
         binsize=params["binsize"])
 
