@@ -1,4 +1,7 @@
-"""adamw_lowmem: converges like optax.adamw; bf16 state dtype verified."""
+"""adamw_lowmem: converges like optax.adamw; bf16 state dtype verified.
+adamw_sr_bf16 + apply_updates_sr: stochastic rounding is unbiased,
+accumulates sub-ulp updates that nearest rounding discards, and converges
+like the f32 optimizer."""
 
 import numpy as np
 import pytest
@@ -7,7 +10,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from video_spike_tpu.ops.optim import adamw_lowmem
+from video_spike_tpu.ops.optim import (adamw_lowmem, adamw_sr_bf16,
+                                       apply_updates_sr, _hash_bits,
+                                       _sr_to_bf16)
 
 
 def _quadratic_losses(tx, steps=200, seed=0):
@@ -58,3 +63,91 @@ def test_lowmem_weight_decay_applies():
     updates, _ = tx.update(grads, state, params)
     # zero grads: update is pure decay = -lr * wd * w
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.05, rtol=1e-5)
+
+
+# ---------------- stochastic-rounding bf16 parameter store ----------------
+
+
+def test_hash_bits_uniform_low16():
+    bits = np.asarray(_hash_bits(jnp.uint32(3), 1, 1 << 16)) & 0xFFFF
+    # mean of U[0, 65535] is 32767.5; std of the mean over 65536 draws ~74
+    assert abs(bits.mean() - 32767.5) < 300
+    # all 16 low bits actually toggle
+    assert (np.bitwise_or.reduce(bits) == 0xFFFF
+            and np.bitwise_and.reduce(bits) == 0)
+    # different steps give different streams
+    other = np.asarray(_hash_bits(jnp.uint32(4), 1, 1 << 16)) & 0xFFFF
+    assert (bits != other).mean() > 0.9
+
+
+def test_sr_is_unbiased():
+    # a value 1/4 of the way between two bf16 neighbors must round up
+    # ~25% of the time; nearest rounding would give 0% (pure bias)
+    lo = np.float32(np.float32(1.0))          # bf16-exact
+    ulp = np.float32(2.0 ** -7)               # bf16 ulp at 1.0 (7 mantissa bits)
+    v = jnp.full((20000,), lo + 0.25 * ulp, jnp.float32)
+    bits = _hash_bits(jnp.uint32(0), 7, v.size)
+    r = np.asarray(_sr_to_bf16(v, bits), np.float32)
+    up_frac = (r > lo).mean()
+    assert 0.22 < up_frac < 0.28, up_frac
+    # unbiased in expectation
+    assert abs(r.mean() - (lo + 0.25 * ulp)) < 0.02 * ulp
+
+
+def test_sr_accumulates_subulp_updates():
+    # +1e-4 is ~1/39 of the bf16 ulp at 1.0: nearest rounding discards it
+    # every step (stays exactly 1.0 forever); SR accumulates it in
+    # expectation.
+    p_sr = {"w": jnp.ones((256,), jnp.bfloat16)}
+    p_nr = {"w": jnp.ones((256,), jnp.bfloat16)}
+    u = {"w": jnp.full((256,), 1e-4, jnp.bfloat16)}
+    step_sr = jax.jit(apply_updates_sr)
+    step_nr = jax.jit(optax.apply_updates)
+    for i in range(1000):
+        p_sr = step_sr(p_sr, u, jnp.uint32(i))
+        p_nr = step_nr(p_nr, u)
+    drift = float(jnp.mean(p_sr["w"].astype(jnp.float32))) - 1.0
+    assert 0.08 < drift < 0.12, drift          # E[drift] = 0.1
+    assert float(jnp.mean(p_nr["w"].astype(jnp.float32))) == 1.0
+
+
+def test_sr_exact_add_on_f32_leaves():
+    p = {"big": jnp.ones((8,), jnp.bfloat16), "small": jnp.ones((3,))}
+    u = {"big": jnp.zeros((8,), jnp.bfloat16),
+         "small": jnp.full((3,), 1e-4, jnp.float32)}
+    out = apply_updates_sr(p, u, jnp.uint32(0))
+    assert out["small"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out["small"]), 1.0001, rtol=1e-6)
+    assert out["big"].dtype == jnp.bfloat16
+
+
+def _quadratic_losses_sr(lr, steps=200, seed=0):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.normal(size=(20, 10)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(20,)).astype(np.float32))
+    params = {"w": jnp.zeros((10,), jnp.bfloat16)}
+    tx = adamw_sr_bf16(lr, weight_decay=0.0)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.mean((A @ p["w"].astype(jnp.float32) - b) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, i):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return apply_updates_sr(params, updates, i), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt, loss = step(params, opt, jnp.uint32(i))
+        losses.append(float(loss))
+    return losses
+
+
+def test_sr_convergence_matches_f32():
+    ref = _quadratic_losses(optax.adamw(5e-2, weight_decay=0.0))
+    sr = _quadratic_losses_sr(5e-2)
+    # early trajectory matches; the floor is within bf16-parameter noise
+    np.testing.assert_allclose(sr[:20], ref[:20], rtol=0.05, atol=2e-3)
+    assert sr[-1] < ref[-1] + 0.05, (sr[-1], ref[-1])

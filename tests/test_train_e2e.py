@@ -150,3 +150,49 @@ def test_trainer_learns(tiny_session, tmp_path):
     assert last < first - 0.05, f"no learning: {first} -> {last}"
     ev = trainer.eval_epoch()
     assert ev["eval_res"]["eval_bps"] > -1.0
+
+
+def test_train_with_bf16_sr_params(tiny_session, tmp_path):
+    """optimizer.param_dtype=bfloat16_sr trains end-to-end: big leaves are
+    stored bf16, updates are stochastically rounded, quality stays in line
+    with the f32 run on the same session."""
+    import jax.numpy as jnp
+    from video_spike_tpu.core.config import config_from_kwargs
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    def run(param_dtype, subdir):
+        config = config_from_kwargs(
+            {"model": "include:configs/model/linear_of-ws.yaml"})
+        config = update_config("configs/train/linear_of-ws.yaml", config)
+        config["dirs"]["data_dir"] = str(tiny_session)
+        config["training"]["num_epochs"] = 4
+        config["training"]["train_batch_size"] = 8
+        if param_dtype:
+            config["optimizer"]["param_dtype"] = param_dtype
+        split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+        train_dl, val_dl, test_dl = make_loader(config, split)
+        meta = get_metadata_from_loader(train_dl, config)
+        config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+        config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+        model = NAME2MODEL[config.model.model_class].from_config(config.model)
+        trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                              eid="abcde0000", dataset_split_dict=split,
+                              log_dir=str(tmp_path / subdir))
+        res = trainer.train()
+        return trainer, res
+
+    trainer, res = run("bfloat16_sr", "sr")
+    # the big kernels really are stored bf16 (small leaves stay f32)
+    import jax
+    leaves = jax.tree.leaves(trainer.params)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    assert any(l.dtype == jnp.float32 for l in leaves)
+    assert np.isfinite(res["best_eval_bps"])
+
+    _, res32 = run(None, "f32")
+    # same session, same recipe: SR quality within noise of f32
+    assert res["best_eval_bps"] > res32["best_eval_bps"] - 0.2, (
+        res["best_eval_bps"], res32["best_eval_bps"])

@@ -69,3 +69,86 @@ def adamw_lowmem(learning_rate, b1: float = 0.9, b2: float = 0.999,
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
+
+
+def adamw_sr_bf16(learning_rate, b1: float = 0.9, b2: float = 0.999,
+                  eps: float = 1e-8, weight_decay: float = 0.0
+                  ) -> optax.GradientTransformation:
+    """AdamW over a bfloat16 parameter tree (pair with
+    :func:`apply_updates_sr`).
+
+    With bf16 params the gradients are bf16 too, so the whole update chain
+    (grads in, moments stored, step out) moves half the HBM traffic of the
+    f32-param variant. The moment math still runs in f32
+    (:func:`scale_by_adam_lowmem`); the one thing plain
+    ``optax.apply_updates`` would get wrong is the parameter add — at
+    lr 5e-5 the per-step update is far below bf16's ~0.4% relative
+    resolution and round-to-nearest would discard it, which is what
+    :func:`apply_updates_sr`'s stochastic rounding fixes.
+    """
+    return optax.chain(
+        scale_by_adam_lowmem(b1, b2, eps),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def _sr_to_bf16(x32: jax.Array, bits: jax.Array) -> jax.Array:
+    """Stochastically round an f32 array to bf16.
+
+    bf16 is the top 16 bits of the f32 pattern: adding a uniform random
+    16-bit integer to the low mantissa bits and truncating rounds up with
+    probability proportional to the discarded remainder (exactly unbiased
+    in expectation; the carry may legitimately bump the exponent). Works on
+    the magnitude for negatives (IEEE sign-magnitude), which is the correct
+    SR there too.
+    """
+    raw = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    raw = (raw + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    rounded = jax.lax.bitcast_convert_type(raw, jnp.float32)
+    # low bits are zero, so this astype is exact
+    return rounded.astype(jnp.bfloat16)
+
+
+def _hash_bits(seed: jax.Array, leaf_id: int, n: int) -> jax.Array:
+    """n uniform uint32s from a murmur3-finalizer counter hash.
+
+    ~5 VPU ops/element vs threefry's dozens (measured 13.4 ms for a
+    504M-element draw — as long as the whole update it was randomizing).
+    SR only needs low-16 bits that are uniform and uncorrelated with the
+    data and across steps; a counter hash keyed by (seed=step, leaf)
+    delivers that at streaming speed.
+    """
+    x = jax.lax.iota(jnp.uint32, n)
+    x = x + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) \
+        + jnp.uint32((leaf_id * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def apply_updates_sr(params: optax.Params, updates: optax.Updates,
+                     seed: jax.Array) -> optax.Params:
+    """``optax.apply_updates`` with stochastic rounding into bf16 leaves.
+
+    The sum is computed in f32. bf16 leaves are stochastically rounded back
+    (unbiased, so sub-ulp AdamW steps accumulate across iterations instead
+    of rounding away); other dtypes take the ordinary exact add. ``seed``
+    is a scalar (pass the step count) — each leaf gets an independent
+    stream via a leaf-id offset in the counter hash.
+    """
+    counter = iter(range(1, 1 << 30))
+
+    def upd(p, u):
+        if u is None:
+            return p
+        s = p.astype(jnp.float32) + u.astype(jnp.float32)
+        if p.dtype != jnp.bfloat16:
+            return s.astype(p.dtype)
+        bits = _hash_bits(seed, next(counter), p.size).reshape(p.shape)
+        return _sr_to_bf16(s, bits)
+
+    return jax.tree.map(upd, params, updates,
+                        is_leaf=lambda x: x is None)

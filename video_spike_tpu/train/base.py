@@ -63,11 +63,18 @@ def make_optimizer(config, total_steps: int):
         final_div_factor=1e4,
     )
     # HBM-bound updates (the raw-video Linear model is ~500M params) can opt
-    # into reduced optimizer-state precision; default float32 matches the
-    # reference's torch AdamW numerics.
-    #   optimizer.lowmem_state: true  -> both Adam moments in bf16 (fastest)
+    # into reduced precision; default float32 matches the reference's torch
+    # AdamW numerics.
+    #   optimizer.param_dtype: bfloat16_sr -> bf16 params + grads + moments,
+    #       stochastically-rounded updates (fastest: 16.0 -> 12.1 ms/step on
+    #       the 504M readout, convergence-tested in tests/test_optim.py)
+    #   optimizer.lowmem_state: true  -> both Adam moments in bf16
     #   optimizer.mu_dtype: bfloat16  -> first moment only (optax built-in)
-    if opt.get("lowmem_state"):
+    if opt.get("param_dtype") == "bfloat16_sr":
+        from video_spike_tpu.ops.optim import adamw_sr_bf16
+        tx = adamw_sr_bf16(schedule, weight_decay=opt.get("wd", 0.01),
+                           eps=opt.get("eps", 1e-8))
+    elif opt.get("lowmem_state"):
         from video_spike_tpu.ops.optim import adamw_lowmem
         tx = adamw_lowmem(schedule, weight_decay=opt.get("wd", 0.01),
                           eps=opt.get("eps", 1e-8))
@@ -157,6 +164,20 @@ class BaseTrainer:
         self._last_best_flush = -(1 << 30)
         self._save_every = int(config.training.get("save_every", 100) or 100)
 
+        # bf16 parameter store with stochastically-rounded updates: halves
+        # the HBM traffic of the (bandwidth-bound) big-model update. Small
+        # leaves (< 64k elements: biases, norms) stay f32 — they cost
+        # nothing and keep the sensitive scalars exact.
+        self._sr_params = (config.optimizer.get("param_dtype")
+                           == "bfloat16_sr")
+        if self._sr_params:
+            from video_spike_tpu.ops.optim import apply_updates_sr
+            self._apply_updates = apply_updates_sr
+        else:
+            self._apply_updates = (
+                lambda params, updates, seed: optax.apply_updates(params,
+                                                                  updates))
+
     # ------------------------------------------------------------------
     # input assembly (reference `_forward_model_outputs`)
     # ------------------------------------------------------------------
@@ -192,6 +213,11 @@ class BaseTrainer:
                 load_pretrained_into_probe)
             params = load_pretrained_into_probe(params, pretrained)
             self.log.info(f"loaded pretrained backbone from {pretrained}")
+        if self._sr_params:
+            params = jax.tree.map(
+                lambda p: (p.astype(jnp.bfloat16)
+                           if p.dtype == jnp.float32 and p.size >= (1 << 16)
+                           else p), params)
         self.params = jax.device_put(params, self.repl)
         self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -199,15 +225,16 @@ class BaseTrainer:
                       f"{n_params/1e6:.1f}M params")
 
         model, tx, criterion = self.model, self.tx, self.criterion
+        apply_updates = self._apply_updates
 
-        def train_step(params, opt_state, inputs, ap, n_valid):
+        def train_step(params, opt_state, inputs, ap, n_valid, seed):
             def loss_fn(p):
                 out = model.apply(p, inputs)
                 return criterion(out, ap, n_valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = apply_updates(params, updates, seed)
             return params, opt_state, loss
 
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
@@ -265,8 +292,9 @@ class BaseTrainer:
                       f"transfer-free")
 
         model, tx, criterion = self.model, self.tx, self.criterion
+        apply_updates = self._apply_updates
 
-        def cached_step(params, opt_state, X_all, ap_all, idx, n_valid):
+        def cached_step(params, opt_state, X_all, ap_all, idx, n_valid, seed):
             x = jnp.take(X_all, idx, axis=0)
             ap = jnp.take(ap_all, idx, axis=0)
 
@@ -275,7 +303,7 @@ class BaseTrainer:
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = apply_updates(params, updates, seed)
             return params, opt_state, loss
 
         self._cached_step = jax.jit(cached_step, donate_argnums=(0, 1))
@@ -295,7 +323,8 @@ class BaseTrainer:
             self.params, self.opt_state, loss = self._cached_step(
                 self.params, self.opt_state, X_all, ap_all,
                 jax.device_put(idx.astype(np.int32), self.batch_shd),
-                jnp.float32(n_valid))
+                jnp.float32(n_valid),
+                jnp.uint32(self._global_step & 0xFFFFFFFF))
             losses.append(loss)
             self._global_step += 1
         return {
@@ -318,7 +347,8 @@ class BaseTrainer:
                 profile_until = self._global_step + self._profile_steps
             x, ap, n_valid = self._pad_and_put(inputs, np.asarray(batch["ap"]))
             self.params, self.opt_state, loss = self._step_fn(
-                self.params, self.opt_state, x, ap, n_valid)
+                self.params, self.opt_state, x, ap, n_valid,
+                jnp.uint32(self._global_step & 0xFFFFFFFF))
             losses.append(loss)
             self._global_step += 1
             if profiling and self._global_step >= profile_until:
