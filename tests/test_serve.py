@@ -1,0 +1,125 @@
+"""Serving stack: bucketed InferenceSession, MicroBatcher coalescing, HTTP
+round trip (CPU backend; tiny Linear model)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_spike_tpu.models.linear import LinearModel
+from video_spike_tpu.serve import InferenceSession, MicroBatcher, serve_http
+
+N_FEAT, T_BINS, N_NEURONS = 24, 10, 4
+
+
+@pytest.fixture(scope="module")
+def session():
+    model = LinearModel(encoder_hidden=(16,), encoder_out=8,
+                        decoder_hidden=(), output_dim=T_BINS * N_NEURONS,
+                        t_bins=T_BINS, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N_FEAT), jnp.float32))
+    return InferenceSession(model, params, bucket_sizes=(1, 2, 4, 8))
+
+
+def test_bucket_padding_matches_direct_apply(session):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, N_FEAT)).astype(np.float32)
+    out = session.predict(x)
+    assert out.shape == (3, T_BINS, N_NEURONS)
+    direct = np.asarray(session.model.apply(session.params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+    # 3 rows rode the 4-bucket
+    assert session.stats["padded_rows"] == 1
+
+
+def test_bucket_reuse_no_recompile(session):
+    before = session.stats["compiles"]
+    rng = np.random.default_rng(1)
+    for n in (3, 4, 2, 3):      # all fit existing buckets (2 and 4)
+        session.predict(rng.normal(size=(n, N_FEAT)).astype(np.float32))
+    assert session.stats["compiles"] <= before + 2
+
+
+def test_batch_above_largest_bucket_rejected(session):
+    with pytest.raises(ValueError, match="largest bucket"):
+        session.predict(np.zeros((9, N_FEAT), np.float32))
+
+
+def test_microbatcher_coalesces_and_matches(session):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, N_FEAT)).astype(np.float32)
+    direct = session.predict(x)
+
+    batcher = MicroBatcher(session.predict, max_batch=8, max_delay_ms=50)
+    try:
+        futs = [batcher.submit(row) for row in x]
+        outs = np.stack([f.result(timeout=10) for f in futs])
+        np.testing.assert_allclose(outs, direct, rtol=1e-5, atol=1e-6)
+        stats = batcher.stats()
+        assert stats["served"] == 8
+        # 8 concurrent submits within the 50 ms window -> far fewer
+        # dispatches than requests (usually 1-2)
+        assert stats["dispatches"] <= 4
+        assert stats["p99_ms"] >= stats["p50_ms"] > 0
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_propagates_errors():
+    def boom(rows, **kw):
+        raise RuntimeError("kaput")
+
+    batcher = MicroBatcher(boom, max_batch=4, max_delay_ms=1)
+    try:
+        fut = batcher.submit(np.zeros((3,), np.float32))
+        with pytest.raises(RuntimeError, match="kaput"):
+            fut.result(timeout=10)
+    finally:
+        batcher.close()
+
+
+def test_http_round_trip(session):
+    batcher = MicroBatcher(session.predict, max_batch=8, max_delay_ms=2)
+    server = serve_http(batcher, port=0, host="127.0.0.1", block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.read() == b"ok"
+        # predict one sample
+        rng = np.random.default_rng(3)
+        row = rng.normal(size=(N_FEAT,)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, row)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.load(io.BytesIO(r.read()))
+        direct = session.predict(row[None])[0]
+        np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+        # stats
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["served"] >= 1
+        # malformed body -> 400, not a hang
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not-an-npy",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()

@@ -1,0 +1,58 @@
+"""Serve a trained model over HTTP (beyond the reference — its only
+inference surface is offline evaluation, ``/root/reference/src/test.py``).
+
+    python -m video_spike_tpu.cli.serve \
+        --model_config configs/model/linear_me.yaml \
+        --ckpt_dir logs/<eid5>/<mods>/LinearModel --port 8000
+
+POST ``.npy`` bytes to ``/predict``; GET ``/stats`` for latency counters.
+The model is wrapped in an InferenceSession (static-shape buckets, one XLA
+compile per bucket, warmed at startup) behind a MicroBatcher (concurrent
+requests coalesce into single device dispatches).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from video_spike_tpu.core.config import config_from_kwargs
+from video_spike_tpu.core.logging import logging as make_logger
+
+
+def main(argv=None):
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
+    parser = argparse.ArgumentParser(description="Serve a trained model")
+    parser.add_argument("--model_config", type=str, required=True)
+    parser.add_argument("--ckpt_dir", type=str, required=True)
+    parser.add_argument("--ckpt_name", type=str, default="model_best")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--max_batch", type=int, default=16)
+    parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--input_dim", type=int, default=None,
+                        help="Feature width for warmup (Linear family)")
+    args = parser.parse_args(argv)
+
+    log = make_logger(header="[serve]")
+    config = config_from_kwargs({"model": f"include:{args.model_config}"})
+
+    from video_spike_tpu.serve import (InferenceSession, MicroBatcher,
+                                       serve_http)
+    session = InferenceSession.from_checkpoint(
+        config.model, args.ckpt_dir, ckpt_name=args.ckpt_name,
+        bucket_sizes=(1, 2, 4, 8, args.max_batch))
+    if args.input_dim:
+        log.info("warming compile buckets...")
+        session.warmup(np.zeros((args.input_dim,), np.float32))
+    batcher = MicroBatcher(session.predict, max_batch=args.max_batch,
+                           max_delay_ms=args.max_delay_ms)
+    log.info(f"serving on {args.host}:{args.port} "
+             f"(buckets {session.buckets})")
+    serve_http(batcher, port=args.port, host=args.host)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,7 @@ class VideoMAEBackbone(nn.Module):
                     self.num_attention_heads, self.intermediate_size,
                     self.dtype, final_norm=not self.hf_compat,
                     gelu_approx=not self.hf_compat,  # HF "gelu" = exact erf
+                    ln_dtype=jnp.float32 if self.hf_compat else None,
                     name="encoder")(x)
         return x  # (B, L, D) last hidden state
 

@@ -149,13 +149,25 @@ class Block(nn.Module):
     # architecturally equivalent for from-scratch training). Weight-import
     # backbones set gelu_approx=False for HF "gelu" (erf) semantics.
     gelu_approx: bool = True
+    # LayerNorm IO dtype; None follows the block's compute dtype. flax keeps
+    # the statistics in f32 either way (`_compute_stats` upcasts
+    # half-precision inputs), and both LN outputs feed bf16 matmuls that
+    # discard the extra bits — outputs are bit-identical
+    # (scripts/profile_ln_dtype.py). Measured impact: a 27% win when the
+    # residual stream is f32 (the isolated A/B's input was f32), but the
+    # production models already carry a bf16 residual stream, so the
+    # end-to-end VTT step is unchanged (40.0 vs 40.2 ms) — this field
+    # exists to keep the precision policy explicit and uniform, not as a
+    # perf lever. Weight-import (hf_compat) paths pin f32.
+    ln_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        ln = self.dtype if self.ln_dtype is None else self.ln_dtype
+        y = nn.LayerNorm(epsilon=self.eps, dtype=ln)(x)
         y = SelfAttention(self.hidden, self.heads, self.dtype)(y)
         x = x + y
-        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=ln)(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=self.gelu_approx)
         y = nn.Dense(self.hidden, dtype=self.dtype)(y)
@@ -171,12 +183,14 @@ class Encoder(nn.Module):
     eps: float = 1e-12
     final_norm: bool = True  # HF VideoMAEModel(use_mean_pooling) omits it
     gelu_approx: bool = True  # see Block
+    ln_dtype: Any = None      # see Block; weight-import paths pin f32
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.depth):
             x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      self.eps, gelu_approx=self.gelu_approx)(x)
+                      self.eps, gelu_approx=self.gelu_approx,
+                      ln_dtype=self.ln_dtype)(x)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         return x
