@@ -123,3 +123,33 @@ def test_http_round_trip(session):
     finally:
         server.shutdown()
         batcher.close()
+
+
+def test_from_checkpoint_both_restore_paths(tmp_path):
+    """from_checkpoint restores with and without a sample-input target and
+    builds the model through the registry from a plain-dict config."""
+    from video_spike_tpu.train.checkpoint import save_checkpoint
+    from video_spike_tpu.serve.session import InferenceSession as IS
+
+    model = LinearModel(encoder_hidden=(16,), encoder_out=8,
+                        decoder_hidden=(), output_dim=100 * 4,
+                        compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N_FEAT), jnp.float32))
+    save_checkpoint(tmp_path, "model_best", {"params": params, "epoch": 3})
+
+    cfg = {"model_class": "Linear",
+           "encoder": {"hidden_dims": [16], "output_dim": 8},
+           "decoder": {"hidden_dims": [], "output_dim": 100 * 4}}
+    x = np.random.default_rng(0).normal(size=(2, N_FEAT)).astype(np.float32)
+
+    for s in (IS.from_checkpoint(cfg, tmp_path),
+              IS.from_checkpoint(cfg, tmp_path, sample_input=x[:1])):
+        # params restored exactly
+        for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and predict() == the registry-built model applied directly
+        # (from_config builds the production bf16-compute variant)
+        direct = np.asarray(s.model.apply(s.params, jnp.asarray(x)))
+        np.testing.assert_allclose(s.predict(x), direct, rtol=1e-5,
+                                   atol=1e-6)

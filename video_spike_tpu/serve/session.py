@@ -44,9 +44,12 @@ class InferenceSession:
                         **kwargs) -> "InferenceSession":
         """Build the model from its config (registry name + from_config,
         the trainers' convention) and restore ``model_best`` params."""
+        from video_spike_tpu.core.config import DictConfig
         from video_spike_tpu.core.registry import NAME2MODEL
         from video_spike_tpu.train.checkpoint import load_checkpoint
 
+        if not isinstance(model_config, DictConfig):
+            model_config = DictConfig(model_config)  # dot access on reads
         model = NAME2MODEL[model_config["model_class"]].from_config(
             model_config)
         needs_sids = model_config["model_class"] == "VideoTransformer"
