@@ -412,38 +412,53 @@ class BaseTrainer:
     # full loop
     # ------------------------------------------------------------------
     def train(self) -> dict:
+        from video_spike_tpu.core.preempt import graceful_stop
+
         best_bps = -np.inf
         best_loss = np.inf
         best_epoch = -1
         num_epochs = self.config.training.num_epochs
         eval_every = int(self.config.training.get("eval_every") or 1)
         t0 = time.time()
-        for epoch in range(self._start_epoch, num_epochs):
-            train_res = self.train_epoch()
-            # evaluate on the cadence and always on the final epoch (best-
-            # checkpoint selection needs the last point)
-            eval_res = (self.eval_epoch()
-                        if (epoch % eval_every == 0
-                            or epoch == num_epochs - 1) else None)
-            line = {"epoch": epoch, **train_res}
-            if eval_res:
-                line.update(eval_res["eval_res"])
-                if eval_res["eval_res"]["eval_bps"] > best_bps:
-                    best_bps = eval_res["eval_res"]["eval_bps"]
-                    best_loss = eval_res["eval_res"]["eval_loss"]
-                    best_epoch = epoch
-                    # stash best params as an on-device copy (~1 ms); a disk
-                    # checkpoint device_gets the full model through the host
-                    # link (25 s for the 500M-param readout), so it is
-                    # written at the save_every cadence and once at the end
-                    self._best_params = jax.tree.map(jnp.copy, self.params)
-                    self._best_epoch = epoch
-                    if epoch - self._last_best_flush >= self._save_every:
-                        self.save_model("best", epoch)
-                        self._last_best_flush = epoch
-                    self._plot_figs(eval_res, epoch=epoch)
-            self.log.info(f"{line}")
-            self.tracker.log(line, step=self._global_step)
+        with graceful_stop(self.log) as preempted:
+            for epoch in range(self._start_epoch, num_epochs):
+                train_res = self.train_epoch()
+                # evaluate on the cadence and always on the final epoch (best-
+                # checkpoint selection needs the last point)
+                eval_res = (self.eval_epoch()
+                            if (epoch % eval_every == 0
+                                or epoch == num_epochs - 1) else None)
+                line = {"epoch": epoch, **train_res}
+                if eval_res:
+                    line.update(eval_res["eval_res"])
+                    if eval_res["eval_res"]["eval_bps"] > best_bps:
+                        best_bps = eval_res["eval_res"]["eval_bps"]
+                        best_loss = eval_res["eval_res"]["eval_loss"]
+                        best_epoch = epoch
+                        # stash best params as an on-device copy (~1 ms); a
+                        # disk checkpoint device_gets the full model through
+                        # the host link (25 s for the 500M-param readout), so
+                        # it is written at the save_every cadence + at the end
+                        self._best_params = jax.tree.map(jnp.copy, self.params)
+                        self._best_epoch = epoch
+                        if epoch - self._last_best_flush >= self._save_every:
+                            self.save_model("best", epoch)
+                            self._last_best_flush = epoch
+                        self._plot_figs(eval_res, epoch=epoch)
+                self.log.info(f"{line}")
+                self.tracker.log(line, step=self._global_step)
+                if preempted:
+                    # cluster TERM (or Ctrl-C): persist the true-resume
+                    # checkpoint and stop cleanly; --resume picks up here
+                    self.save_model("last", epoch)
+                    if self._best_params is not None:
+                        self.save_model("best", self._best_epoch)
+                    self.log.info(
+                        f"preempted at epoch {epoch}: model_last saved, "
+                        f"resume with --resume")
+                    return {"preempted": True, "epoch": epoch,
+                            "best_eval_bps": best_bps,
+                            "best_epoch": best_epoch, "test_res": None}
         if self._best_params is not None:
             self.save_model("best", self._best_epoch)
         self.save_model("last", num_epochs - 1)

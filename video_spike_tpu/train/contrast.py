@@ -149,36 +149,47 @@ class ContrastTrainer:
         return {"cur_step": cur_step, "loss": loss, **aux}
 
     def fit(self) -> float:
+        from video_spike_tpu.core.preempt import graceful_stop
+
         self.log.info("Starting fitting!")
         current_step = 0
         best_bps = -np.inf
         start = time.time()
         last_validation = 0
-        while current_step < self.max_steps:
-            for batch in background(iter(self.data_loader), depth=2):
-                logs = self._step(batch, current_step)
-                if current_step % 50 == 0:
-                    logs = {k: (float(v) if hasattr(v, "dtype") else v)
-                            for k, v in logs.items()}
-                    self.tracker.log(logs, step=current_step)
-                    self.log.info(f"{logs}")
-                current_step += 1
-                if current_step >= self.max_steps:
+        with graceful_stop(self.log) as preempted:
+            while current_step < self.max_steps and not preempted:
+                for batch in background(iter(self.data_loader), depth=2):
+                    logs = self._step(batch, current_step)
+                    if current_step % 50 == 0:
+                        logs = {k: (float(v) if hasattr(v, "dtype") else v)
+                                for k, v in logs.items()}
+                        self.tracker.log(logs, step=current_step)
+                        self.log.info(f"{logs}")
+                    current_step += 1
+                    if current_step >= self.max_steps or preempted:
+                        break
+                if preempted:
+                    # skip the (slow) nested-RRR validation inside the
+                    # cluster's grace window; the last validated best is
+                    # what gets persisted below
                     break
-            if (self.validate_every is not None
-                    and current_step - last_validation < self.validate_every
-                    and current_step < self.max_steps):
-                continue
-            last_validation = current_step
-            val = self._validate()
-            self.log.info(f"{val}")
-            self.tracker.log(val, step=current_step)
-            if val["val_bps"] > best_bps:
-                best_bps = val["val_bps"]
-                self.log.info(f"Best val bps: {best_bps}")
-                # on-device stash; the disk write (a ~20 s device_get for
-                # ViT-Base through the host link) happens once after fit
-                self._best_params = jax.tree.map(jnp.copy, self.params)
+                if (self.validate_every is not None
+                        and current_step - last_validation < self.validate_every
+                        and current_step < self.max_steps):
+                    continue
+                last_validation = current_step
+                val = self._validate()
+                self.log.info(f"{val}")
+                self.tracker.log(val, step=current_step)
+                if val["val_bps"] > best_bps:
+                    best_bps = val["val_bps"]
+                    self.log.info(f"Best val bps: {best_bps}")
+                    # on-device stash; the disk write (a ~20 s device_get for
+                    # ViT-Base through the host link) happens once after fit
+                    self._best_params = jax.tree.map(jnp.copy, self.params)
+            if preempted:
+                self.log.info(f"preempted at step {current_step}: saving "
+                              f"best_model before exit")
         if self._best_params is not None:
             self._save_model("best_model")
         self.log.info(f"Training took: {time.time()-start:.1f} seconds")

@@ -307,21 +307,32 @@ class MultiSessionTrainer:
         return {"per_session": per_session, **agg}
 
     def train(self) -> dict:
+        from video_spike_tpu.core.preempt import graceful_stop
+
         best_bps = -np.inf
         t0 = time.time()
-        for epoch in range(self.config.training.num_epochs):
-            tr = self.train_epoch()
-            ev = self._eval(self.val_loaders, "eval")
-            line = {"epoch": epoch, **tr,
-                    "eval_bps": ev["eval_bps"],
-                    "eval_rsquared": ev["eval_rsquared"]}
-            self.log.info(f"{line}")
-            self.tracker.log(line, step=self._gstep)
-            if ev["eval_bps"] > best_bps:
-                best_bps = ev["eval_bps"]
-                save_checkpoint(self.log_dir, "model_best",
-                                {"params": jax.device_get(self.params),
-                                 "epoch": epoch})
+        with graceful_stop(self.log) as preempted:
+            for epoch in range(self.config.training.num_epochs):
+                tr = self.train_epoch()
+                ev = self._eval(self.val_loaders, "eval")
+                line = {"epoch": epoch, **tr,
+                        "eval_bps": ev["eval_bps"],
+                        "eval_rsquared": ev["eval_rsquared"]}
+                self.log.info(f"{line}")
+                self.tracker.log(line, step=self._gstep)
+                if ev["eval_bps"] > best_bps:
+                    best_bps = ev["eval_bps"]
+                    save_checkpoint(self.log_dir, "model_best",
+                                    {"params": jax.device_get(self.params),
+                                     "epoch": epoch})
+                if preempted:
+                    save_checkpoint(
+                        self.log_dir, "model_last",
+                        {"params": jax.device_get(self.params),
+                         "epoch": epoch})
+                    self.log.info(f"preempted at epoch {epoch}: "
+                                  f"model_last saved")
+                    break
         self.log.info(f"trained in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps}")
         if checkpoint_exists(self.log_dir, "model_best"):
