@@ -12,7 +12,7 @@ rsqrt still happen in f32.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

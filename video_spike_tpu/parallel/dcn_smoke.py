@@ -41,7 +41,6 @@ def main() -> None:
     setup_runtime()
 
     import numpy as np
-    import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from video_spike_tpu.ops.poisson import poisson_nll_mean
