@@ -116,3 +116,43 @@ def test_multisession_cli_end_to_end(two_sessions, tmp_path, monkeypatch):
     log_dir = tmp_path / "logs" / "multi_sessa_sessb"
     assert (log_dir / "model_best").exists()
     assert (log_dir / "test_results.npy").exists()
+
+
+def test_multisession_resume_continues(two_sessions, tmp_path):
+    """model_last (params+opt_state+epoch) round-trips through resume and
+    the resumed run continues from the saved epoch with the saved best."""
+    import yaml
+    from video_spike_tpu.cli.train import main
+
+    model_cfg = tmp_path / "vtt_tiny.yaml"
+    model_cfg.write_text(yaml.safe_dump({
+        "model_class": "VideoTransformer", "t_frames": 120, "t_bins": 100,
+        "patch_size": 8, "hidden_size": 32, "frame_depth": 1,
+        "temporal_depth": 1, "num_attention_heads": 4,
+        "intermediate_size": 64}))
+    args = ["--model_config", str(model_cfg),
+            "--train_config", "configs/train/vtt_video.yaml",
+            "--eid", "sessa0000,sessb0000",
+            "--data_dir", str(two_sessions),
+            "--batch_size", "4",
+            "--log_dir", str(tmp_path / "logs")]
+    main(args + ["--num_epochs", "2"])
+    log_dir = tmp_path / "logs" / "multi_sessa_sessb"
+    assert (log_dir / "model_last").exists()
+
+    from video_spike_tpu.train import multisession as ms
+
+    seen = []
+    orig = ms.MultiSessionTrainer.train_epoch
+
+    def spy(self):
+        seen.append(self._start_epoch)
+        return orig(self)
+
+    ms.MultiSessionTrainer.train_epoch = spy
+    try:
+        main(args + ["--num_epochs", "4", "--resume"])
+    finally:
+        ms.MultiSessionTrainer.train_epoch = orig
+    # resumed run started at epoch 2 (after the first run's 0..1)
+    assert seen and seen[0] == 2, seen

@@ -101,6 +101,8 @@ def _train_multisession(args, config, log):
     model_ctor = NAME2MODEL[config.model.get("model_class",
                                              "VideoTransformer")]
     trainer.model = model_ctor.from_config(model_cfg)
+    if args.resume:
+        trainer.resume()
     return trainer.train()
 
 

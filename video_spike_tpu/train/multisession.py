@@ -105,6 +105,8 @@ class MultiSessionTrainer:
         self._step_fn = None
         self._eval_fn = None
         self._gstep = 0
+        self._start_epoch = 0
+        self._best_bps = -np.inf
         self._rng = np.random.default_rng(seed)
         self._device_cache_enabled = bool(
             config.training.get("device_cache", True))
@@ -306,13 +308,44 @@ class MultiSessionTrainer:
                    [r["rsquared"] for r in per_session.values()])), 5)}
         return {"per_session": per_session, **agg}
 
+    def _save_last(self, epoch: int) -> None:
+        """True-resume checkpoint: params + optimizer state + counters."""
+        save_checkpoint(self.log_dir, "model_last", {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "epoch": epoch, "global_step": self._gstep,
+            "best_bps": float(self._best_bps)})
+
+    def resume(self, name: str = "last") -> bool:
+        """Restore params + optimizer state + epoch from ``model_last``
+        (mirrors ``BaseTrainer.resume``)."""
+        if not checkpoint_exists(self.log_dir, f"model_{name}"):
+            return False
+        eid = self.eids[0]
+        probe = next(iter(self.train_loaders[eid]))   # fresh iterator; the
+        # epoch loop re-iterates from the start so nothing is consumed
+        self._init_if_needed(np.asarray(probe["video"], np.uint8),
+                             np.zeros(1, np.int32))
+        restored = load_checkpoint(
+            self.log_dir, f"model_{name}",
+            {"params": self.params, "opt_state": self.opt_state,
+             "epoch": 0, "global_step": 0, "best_bps": 0.0})
+        self.params = jax.device_put(restored["params"], self.repl)
+        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
+        self._gstep = int(restored["global_step"])
+        self._start_epoch = int(restored["epoch"]) + 1
+        self._best_bps = float(restored["best_bps"])
+        self.log.info(f"resumed from epoch {restored['epoch']} "
+                      f"(step {self._gstep})")
+        return True
+
     def train(self) -> dict:
         from video_spike_tpu.core.preempt import graceful_stop
 
-        best_bps = -np.inf
         t0 = time.time()
         with graceful_stop(self.log) as preempted:
-            for epoch in range(self.config.training.num_epochs):
+            for epoch in range(self._start_epoch,
+                               self.config.training.num_epochs):
                 tr = self.train_epoch()
                 ev = self._eval(self.val_loaders, "eval")
                 line = {"epoch": epoch, **tr,
@@ -320,19 +353,19 @@ class MultiSessionTrainer:
                         "eval_rsquared": ev["eval_rsquared"]}
                 self.log.info(f"{line}")
                 self.tracker.log(line, step=self._gstep)
-                if ev["eval_bps"] > best_bps:
-                    best_bps = ev["eval_bps"]
+                if ev["eval_bps"] > self._best_bps:
+                    self._best_bps = ev["eval_bps"]
                     save_checkpoint(self.log_dir, "model_best",
                                     {"params": jax.device_get(self.params),
                                      "epoch": epoch})
                 if preempted:
-                    save_checkpoint(
-                        self.log_dir, "model_last",
-                        {"params": jax.device_get(self.params),
-                         "epoch": epoch})
+                    self._save_last(epoch)
                     self.log.info(f"preempted at epoch {epoch}: "
                                   f"model_last saved")
                     break
+            else:
+                self._save_last(self.config.training.num_epochs - 1)
+        best_bps = self._best_bps
         self.log.info(f"trained in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps}")
         if checkpoint_exists(self.log_dir, "model_best"):
