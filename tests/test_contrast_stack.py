@@ -150,3 +150,45 @@ def test_test_cli(h5_fixture, tmp_path, monkeypatch):
     os.symlink(src, dst)
     bps = test_main(common)
     assert len(bps) == 1 and np.isfinite(bps[0])
+
+
+def test_ssl_resume_continues(h5_fixture, tmp_path):
+    """last_model (params+opt+step+best) written on early stop round-trips
+    through ContrastTrainer.resume: the second fit() continues from the
+    saved step instead of 0 (the preemption-then-resume path for the
+    40k-step recipe)."""
+    import jax
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+    dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
+                                 batch_size=16, shuffle=True, **common)
+    train_dl, _ = make_contrast_loader(str(h5_fixture), mode="train",
+                                       batch_size=16, shuffle=False,
+                                       **common)
+    val_dl, _ = make_contrast_loader(str(h5_fixture), mode="val",
+                                     batch_size=16, shuffle=False, **common)
+
+    def make_trainer():
+        model = NAME2MODEL["ContrastViTMAE"].from_config(TINY_VIT)
+        return ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=8, eid="cafe00000",
+            log_dir=str(tmp_path / "logs"), image_size=32, seed=0,
+            validate_every=100)
+
+    # first run stops early (as a preemption would) and writes last_model
+    a = make_trainer()
+    a.max_steps = 3
+    a.fit()
+    a.max_steps = 8           # the checkpoint lives in the 8-step log dir
+    assert os.path.exists(os.path.join(a.log_dir, "last_model"))
+
+    b = make_trainer()
+    assert b.resume()
+    assert b._start_step == 3
+    # params actually restored, not re-initialized
+    for x, y in zip(jax.tree.leaves(b.params), jax.tree.leaves(a.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    b.fit()                   # runs steps 3..8 without error

@@ -76,6 +76,8 @@ def main(argv=None, h5_path: str | None = None):
         log=log,
         validate_every=extra.validate_every,
     )
+    if args.resume:
+        trainer.resume()
     trainer.fit()
 
     test_dl, _ = make_contrast_loader(h5_path, mode="test", batch_size=1,

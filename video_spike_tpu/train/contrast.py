@@ -82,6 +82,8 @@ class ContrastTrainer:
         self._train_step = None
         self._embed_fn = None
         self._best_params = None
+        self._start_step = 0
+        self._best_bps = -np.inf
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -152,10 +154,10 @@ class ContrastTrainer:
         from video_spike_tpu.core.preempt import graceful_stop
 
         self.log.info("Starting fitting!")
-        current_step = 0
-        best_bps = -np.inf
+        current_step = self._start_step
+        best_bps = self._best_bps
         start = time.time()
-        last_validation = 0
+        last_validation = current_step
         with graceful_stop(self.log) as preempted:
             while current_step < self.max_steps and not preempted:
                 for batch in background(iter(self.data_loader), depth=2):
@@ -189,11 +191,46 @@ class ContrastTrainer:
                     self._best_params = jax.tree.map(jnp.copy, self.params)
             if preempted:
                 self.log.info(f"preempted at step {current_step}: saving "
-                              f"best_model before exit")
+                              f"best_model + last_model before exit")
+        self._best_bps = best_bps
         if self._best_params is not None:
             self._save_model("best_model")
+        self._save_last(current_step)
         self.log.info(f"Training took: {time.time()-start:.1f} seconds")
         return best_bps
+
+    # ------------------------------------------------------------------
+    def _save_last(self, step: int) -> None:
+        """True-resume checkpoint for the 40k-step recipe: params +
+        optimizer state + step counter + running best."""
+        try:
+            save_checkpoint(self.log_dir, "last_model", {
+                "params": jax.device_get(self.params),
+                "opt_state": jax.device_get(self.opt_state),
+                "step": step, "best_bps": float(self._best_bps)})
+        except Exception as e:
+            self.log.error(f"Error saving last_model: {e}")
+
+    def resume(self, name: str = "last_model") -> bool:
+        """Restore params + optimizer state + step from ``last_model`` and
+        continue ``fit()`` from there (the loader restarts at an epoch
+        boundary; frame order within the epoch is freshly shuffled)."""
+        if not checkpoint_exists(self.log_dir, name):
+            return False
+        batch = next(iter(self.data_loader))
+        self._init_if_needed(np.asarray(batch["ref"]))
+        restored = load_checkpoint(
+            self.log_dir, name,
+            {"params": self.params, "opt_state": self.opt_state,
+             "step": 0, "best_bps": 0.0})
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self._start_step = int(restored["step"])
+        self._step_count = self._start_step
+        self._best_bps = float(restored["best_bps"])
+        self.log.info(f"resumed from step {self._start_step} "
+                      f"(best val_bps {self._best_bps})")
+        return True
 
     # ------------------------------------------------------------------
     def _validate(self) -> Dict:
