@@ -153,3 +153,35 @@ def test_from_checkpoint_both_restore_paths(tmp_path):
         direct = np.asarray(s.model.apply(s.params, jnp.asarray(x)))
         np.testing.assert_allclose(s.predict(x), direct, rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_serve_cli_app(tmp_path):
+    """cli/serve builds a working app from config + checkpoint (the HTTP
+    layer on top is covered by test_http_round_trip)."""
+    import yaml
+    from video_spike_tpu.cli.serve import make_app
+    from video_spike_tpu.train.checkpoint import save_checkpoint
+
+    model = LinearModel(encoder_hidden=(16,), encoder_out=8,
+                        decoder_hidden=(), output_dim=100 * 4,
+                        compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N_FEAT), jnp.float32))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, "model_best", {"params": params, "epoch": 0})
+    cfg = tmp_path / "model.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "model_class": "Linear",
+        "encoder": {"hidden_dims": [16], "output_dim": 8},
+        "decoder": {"hidden_dims": [], "output_dim": 400}}))
+
+    _, session, batcher = make_app([
+        "--model_config", str(cfg), "--ckpt_dir", str(ckpt),
+        "--input_dim", str(N_FEAT), "--max_batch", "8"])
+    try:
+        assert session.stats["compiles"] == len(session.buckets)  # warmed
+        out = batcher.submit(
+            np.zeros((N_FEAT,), np.float32)).result(timeout=30)
+        assert out.shape == (100, 4)
+    finally:
+        batcher.close()

@@ -17,11 +17,13 @@ import argparse
 
 import numpy as np
 
-from video_spike_tpu.core.config import config_from_kwargs
+from video_spike_tpu.core.config import config_from_kwargs, update_config
 from video_spike_tpu.core.logging import logging as make_logger
 
 
-def main(argv=None):
+def make_app(argv=None):
+    """Parse args, load the checkpoint, warm the buckets; returns
+    ``(args, session, batcher)`` — main() puts the HTTP server on top."""
     from video_spike_tpu.core.runtime import setup_runtime
     setup_runtime()
     parser = argparse.ArgumentParser(description="Serve a trained model")
@@ -37,10 +39,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = make_logger(header="[serve]")
-    config = config_from_kwargs({"model": f"include:{args.model_config}"})
+    # update_config resolves the include: (config_from_kwargs alone leaves
+    # the literal string)
+    config = update_config(
+        config_from_kwargs({"model": f"include:{args.model_config}"}))
 
-    from video_spike_tpu.serve import (InferenceSession, MicroBatcher,
-                                       serve_http)
+    from video_spike_tpu.serve import InferenceSession, MicroBatcher
     session = InferenceSession.from_checkpoint(
         config.model, args.ckpt_dir, ckpt_name=args.ckpt_name,
         bucket_sizes=(1, 2, 4, 8, args.max_batch))
@@ -51,6 +55,13 @@ def main(argv=None):
                            max_delay_ms=args.max_delay_ms)
     log.info(f"serving on {args.host}:{args.port} "
              f"(buckets {session.buckets})")
+    return args, session, batcher
+
+
+def main(argv=None):
+    from video_spike_tpu.serve import serve_http
+
+    args, _, batcher = make_app(argv)
     serve_http(batcher, port=args.port, host=args.host)
 
 
