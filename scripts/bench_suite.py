@@ -92,7 +92,7 @@ def bench_vtt(rng):
         n_sessions=5, max_neurons=668, t_frames=120, t_bins=100,
         patch_size=16, hidden=256, frame_depth=4, temporal_depth=4,
         heads=4, mlp_dim=512)
-    B = 8
+    B = 16   # the recipe default (BASELINE.md batch-scaling sweep)
     video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
                                      dtype=np.uint8))
     ap = jnp.asarray(rng.poisson(1.0, (B, 100, 668)).astype(np.float32))
