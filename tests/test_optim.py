@@ -151,3 +151,23 @@ def test_sr_convergence_matches_f32():
     # early trajectory matches; the floor is within bf16-parameter noise
     np.testing.assert_allclose(sr[:20], ref[:20], rtol=0.05, atol=2e-3)
     assert sr[-1] < ref[-1] + 0.05, (sr[-1], ref[-1])
+
+
+def test_sr_rounds_to_adjacent_bf16_values():
+    """Property: SR output is always one of the two bf16 values bracketing
+    the input (never skips levels, never moves against the remainder)."""
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(4096,)) * np.exp(
+        rng.uniform(-20, 10, size=(4096,)))).astype(np.float32)
+    bits = _hash_bits(jnp.uint32(9), 3, x.size)
+    r = np.asarray(_sr_to_bf16(jnp.asarray(x), bits), np.float32)
+    # compute true floor/ceil in bf16 space via the bit pattern
+    u = x.view(np.uint32)
+    floor = (u & 0xFFFF0000).view(np.float32)
+    has_frac = (u & 0xFFFF) != 0
+    ceil_bits = ((u & 0xFFFF0000) + np.where(has_frac, 0x10000, 0)
+                 ).astype(np.uint32)
+    ceil = ceil_bits.view(np.float32)
+    # SR result equals floor or ceil of the magnitude, elementwise
+    ok = (r == floor) | (r == ceil)
+    assert ok.all(), (x[~ok][:5], r[~ok][:5])

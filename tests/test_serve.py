@@ -185,3 +185,28 @@ def test_serve_cli_app(tmp_path):
         assert out.shape == (100, 4)
     finally:
         batcher.close()
+
+
+def test_sharded_serving_matches_unsharded():
+    """A session over a (data=4, model=2) mesh with the training-time
+    tensor-sharding rules returns the same predictions (8-device CPU
+    mesh; bf16 matmuls are deterministic either way on this shape)."""
+    from video_spike_tpu.models.linear import first_layer_sharding_rules
+    from video_spike_tpu.parallel.mesh import make_mesh
+
+    model = LinearModel(encoder_hidden=(16,), encoder_out=8,
+                        decoder_hidden=(), output_dim=T_BINS * N_NEURONS,
+                        t_bins=T_BINS, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N_FEAT), jnp.float32))
+    mesh = make_mesh(n_data=4, n_model=2)
+    plain = InferenceSession(model, params, bucket_sizes=(4,))
+    sharded = InferenceSession(
+        model, params, bucket_sizes=(4,), mesh=mesh,
+        sharding_rules=lambda p, m: first_layer_sharding_rules(p, m,
+                                                               min_dim=8))
+    kernel = sharded.params["params"]["encoder"]["Dense_0"]["kernel"]
+    assert len(set(kernel.sharding.device_set)) > 1  # actually sharded
+    x = np.random.default_rng(5).normal(size=(3, N_FEAT)).astype(np.float32)
+    np.testing.assert_allclose(sharded.predict(x), plain.predict(x),
+                               rtol=1e-5, atol=1e-6)

@@ -29,8 +29,22 @@ class InferenceSession:
     """
 
     def __init__(self, model, params, bucket_sizes: Sequence[int] = (
-            1, 2, 4, 8, 16, 32), needs_session_ids: bool = False):
+            1, 2, 4, 8, 16, 32), needs_session_ids: bool = False,
+            mesh=None, sharding_rules=None):
+        """``mesh`` + ``sharding_rules`` serve a model sharded exactly as it
+        trains (e.g. the ~500M-param video readout's kernel split over the
+        ``model`` axis via ``models.linear.first_layer_sharding_rules``);
+        rules take ``(params, mesh)`` and return a sharding pytree. The
+        request batch is replicated — at serving batch sizes the win is
+        fitting/splitting the weights, not splitting the batch."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            rules = (sharding_rules(params, mesh) if sharding_rules
+                     else jax.tree.map(
+                         lambda _: jax.sharding.NamedSharding(
+                             mesh, jax.sharding.PartitionSpec()), params))
+            params = jax.device_put(params, rules)
         self.params = params
         self.buckets = sorted(set(int(b) for b in bucket_sizes))
         self.needs_session_ids = needs_session_ids
