@@ -208,6 +208,13 @@ def main():
         "patch_size": 16, "hidden_size": 256,
         "frame_depth": 4, "temporal_depth": 4,
         "num_attention_heads": 4, "intermediate_size": 512,
+        # encode every 2nd frame: 60 Hz face video is temporally
+        # redundant, the frame encoder is ~95% of the step, and on the
+        # 5-session fixture stride 2 matches stride 1's quality exactly
+        # (test bps 0.494 vs 0.492) at 1.9x the throughput (BASELINE.md
+        # "frame-stride"); the reference's VideoMAE probe subsamples far
+        # harder (16 of 120 frames)
+        "frame_stride": 2,
         "n_sessions": None, "max_neurons": None,  # injected from data
     }
     (CFG / "model" / "vtt_video.yaml").write_text(

@@ -55,10 +55,11 @@ def main():
     ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
     sids = jnp.asarray(rng.integers(0, S, (B,)).astype(np.int32))
 
+    stride = int(os.environ.get("VTT_PROFILE_STRIDE", 1))
     model = VideoTemporalTransformer(
         n_sessions=S, max_neurons=N, t_frames=T, t_bins=100, patch_size=16,
         hidden=hidden, frame_depth=4, temporal_depth=4, heads=4,
-        mlp_dim=2 * hidden)
+        mlp_dim=2 * hidden, frame_stride=stride)
     params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
     tx = optax.adamw(1e-4, weight_decay=0.01)
     opt_state = tx.init(params)

@@ -156,3 +156,16 @@ def test_multisession_resume_continues(two_sessions, tmp_path):
         ms.MultiSessionTrainer.train_epoch = orig
     # resumed run started at epoch 2 (after the first run's 0..1)
     assert seen and seen[0] == 2, seen
+
+
+def test_vtt_frame_stride(rng):
+    """frame_stride=k encodes ceil(T/k) frames; output shape unchanged and
+    the resample matrix matches the encoded frame count."""
+    model = VideoTemporalTransformer.from_config(dict(TINY, frame_stride=2))
+    video = jnp.asarray(rng.integers(0, 255, (2, 12, 1, 32, 32))
+                        .astype(np.uint8))
+    sids = jnp.zeros(2, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), video, sids)
+    out = model.apply(params, video, sids)
+    assert out.shape == (2, 10, 10)
+    assert params["params"]["time_resample"].shape == (6, 10)

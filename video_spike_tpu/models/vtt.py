@@ -89,6 +89,14 @@ class VideoTemporalTransformer(nn.Module):
     heads: int = 4
     mlp_dim: int = 512
     dtype: Any = jnp.bfloat16
+    # Encode every k-th frame only. 60 Hz face video is temporally highly
+    # redundant and the frame encoder is ~95% of the train step
+    # (BASELINE.md profile); the learned time-resample maps whatever frame
+    # count survives onto the 100 spike bins. Same lever the reference's
+    # VideoMAE probe pulls harder (16 of 120 frames,
+    # /root/reference/src/model/videomae.py:10-11). Measured speed/quality
+    # trade in BASELINE.md ("frame-stride" section).
+    frame_stride: int = 1
 
     @classmethod
     def from_config(cls, config) -> "VideoTemporalTransformer":
@@ -103,11 +111,14 @@ class VideoTemporalTransformer(nn.Module):
             temporal_depth=config.get("temporal_depth", 4),
             heads=config.get("num_attention_heads", 4),
             mlp_dim=config.get("intermediate_size", 512),
+            frame_stride=config.get("frame_stride", 1),
         )
 
     @nn.compact
     def __call__(self, video, session_ids):
         """video: (B, T, 1, H, W) uint8/float; session_ids: (B,) int32."""
+        if self.frame_stride > 1:
+            video = video[:, ::self.frame_stride]
         B, T = video.shape[:2]
         x = video.astype(jnp.float32) / 255.0
         frames = x.reshape(B * T, *x.shape[2:])
@@ -123,11 +134,11 @@ class VideoTemporalTransformer(nn.Module):
                       name=None)(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
 
-        # learned time resampling 120 frames -> 100 bins
+        # learned time resampling (encoded frames -> spike bins); T already
+        # reflects frame_stride
         resample = self.param(
             "time_resample",
-            lambda key: jnp.asarray(time_resample_init(self.t_frames,
-                                                       self.t_bins)))
+            lambda key: jnp.asarray(time_resample_init(T, self.t_bins)))
         h = jnp.einsum("btd,tz->bzd", h, resample,
                        preferred_element_type=jnp.float32)
 
