@@ -210,3 +210,30 @@ def test_sharded_serving_matches_unsharded():
     x = np.random.default_rng(5).normal(size=(3, N_FEAT)).astype(np.float32)
     np.testing.assert_allclose(sharded.predict(x), plain.predict(x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_session_ids_path_pads_and_matches():
+    """Multi-session models route per-sample session ids through padding."""
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer
+
+    model = VideoTemporalTransformer(
+        n_sessions=3, max_neurons=10, t_frames=12, t_bins=10, patch_size=8,
+        hidden=32, frame_depth=1, temporal_depth=1, heads=4, mlp_dim=64)
+    rng = np.random.default_rng(6)
+    video = rng.integers(0, 255, (3, 12, 1, 32, 32), dtype=np.uint8)
+    sids = np.asarray([0, 2, 1], np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(video),
+                        jnp.asarray(sids))
+    s = InferenceSession(model, params, bucket_sizes=(4,),
+                         needs_session_ids=True)
+    out = s.predict(video, session_ids=sids)   # 3 rows ride the 4-bucket
+    ref = np.asarray(model.apply(params, jnp.asarray(video),
+                                 jnp.asarray(sids)))
+    # bf16 matmuls fuse differently at batch 4 vs 3: agreement is to bf16
+    # precision, not bitwise (the f32 Linear tests above check exactness)
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+    # omitted ids default to session 0
+    out0 = s.predict(video)
+    ref0 = np.asarray(model.apply(params, jnp.asarray(video),
+                                  jnp.zeros(3, jnp.int32)))
+    np.testing.assert_allclose(out0, ref0, atol=5e-3)
