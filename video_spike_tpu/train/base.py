@@ -327,8 +327,11 @@ class BaseTrainer:
                 jnp.uint32(self._global_step & 0xFFFFFFFF))
             losses.append(loss)
             self._global_step += 1
+        # one device_get for the whole epoch: each float(scalar) costs a
+        # ~29 ms tunnel round trip (CLAUDE.md), so stack on device first
+        loss_vals = np.asarray(jnp.stack(losses))
         return {
-            "train_loss": round(float(np.mean([float(l) for l in losses])), 5),
+            "train_loss": round(float(loss_vals.mean()), 5),
             "lr": float(self.schedule(self._global_step)),
         }
 
@@ -360,31 +363,46 @@ class BaseTrainer:
             jax.block_until_ready(losses[-1])
             jax.profiler.stop_trace()
             self._profile_dir = None
-        losses = [float(l) for l in losses]
+        loss_vals = np.asarray(jnp.stack(losses))  # one sync (see above)
         return {
-            "train_loss": round(float(np.mean(losses)), 5),
+            "train_loss": round(float(loss_vals.mean()), 5),
             "lr": float(self.schedule(self._global_step)),
         }
+
+    def _eval_batches(self, loader, phase: str):
+        """Evaluation inputs are static across epochs: stage them on device
+        once (the raw-video eval batch is ~30 MB re-uploaded every epoch
+        otherwise — ~25 ms through this host link) and replay the device
+        arrays on later calls."""
+        cache = getattr(self, "_eval_input_cache", None)
+        if cache is None:
+            cache = self._eval_input_cache = {}
+        if phase not in cache:
+            staged = []
+            for batch in loader:
+                inputs = self._assemble_inputs(batch)
+                self._init_if_needed(inputs)
+                ap = np.asarray(batch["ap"])
+                x, ap_d, n_valid = self._pad_and_put(inputs, ap)
+                staged.append((x, ap_d, n_valid, ap, list(batch["eid"])))
+            cache[phase] = staged
+        return cache[phase]
 
     def _run_eval(self, loader, split_eids, phase: str) -> Optional[dict]:
         if loader is None or loader.num_trials == 0:
             return None
         session = {e: {"gt": [], "preds": []} for e in split_eids}
         losses = []
-        for batch in loader:
-            inputs = self._assemble_inputs(batch)
-            self._init_if_needed(inputs)
-            ap = np.asarray(batch["ap"])
-            x, ap_d, n_valid = self._pad_and_put(inputs, ap)
+        for x, ap_d, n_valid, ap, eids in self._eval_batches(loader, phase):
             out = self._eval_fn(self.params, x)
             # device scalar; converted once after the loop (syncs cost ~29 ms
             # RTT each on this runtime)
             losses.append(poisson_nll_mean(out, ap_d, n_valid))
             out = np.asarray(out)[: ap.shape[0]]
-            for i, e in enumerate(batch["eid"]):
+            for i, e in enumerate(eids):
                 session[e]["gt"].append(ap[i])
                 session[e]["preds"].append(out[i])
-        losses = [float(l) for l in losses]
+        losses = np.asarray(jnp.stack(losses)).tolist()  # one sync
         gt, preds = {}, {}
         metric_acc = {k: [] for k in self.metrics}
         for idx, e in enumerate(split_eids):

@@ -263,8 +263,9 @@ class MultiSessionTrainer:
                 jnp.float32(n_valid))
             losses.append(loss)
             self._gstep += 1
-        return {"train_loss": round(
-                    float(np.mean([float(l) for l in losses])), 5),
+        # one device_get per epoch (each float(scalar) is a ~29 ms RTT)
+        loss_vals = np.asarray(jnp.stack(losses))
+        return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
     def train_epoch(self) -> dict:
@@ -279,7 +280,8 @@ class MultiSessionTrainer:
                 self.params, self.opt_state, video, ap, sids, nmask, n_valid)
             losses.append(loss)
             self._gstep += 1
-        return {"train_loss": round(float(np.mean([float(l) for l in losses])), 5),
+        loss_vals = np.asarray(jnp.stack(losses))  # one sync (see above)
+        return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
     def _eval(self, loaders: Dict[str, SessionDataset], phase: str) -> dict:
