@@ -81,3 +81,23 @@ def test_jsonl_tracking(session_dir, tmp_path):
     assert len(lines) >= 2
     assert "train_loss" in lines[0] and "eval_bps" in lines[0]
     assert "t" in lines[0] and "step" in lines[0]
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint_async fetches + writes off-thread; after
+    wait_for_checkpoints the artifact loads and matches, and a second save
+    to the same path serializes behind the first."""
+    import jax.numpy as jnp
+    from video_spike_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint_async, wait_for_checkpoints)
+
+    tree1 = {"params": {"w": jnp.arange(8, dtype=jnp.float32)}, "epoch": 1}
+    tree2 = {"params": {"w": jnp.arange(8, dtype=jnp.float32) * 2},
+             "epoch": 2}
+    save_checkpoint_async(tmp_path, "model_best", tree1)
+    save_checkpoint_async(tmp_path, "model_best", tree2)  # joins the first
+    wait_for_checkpoints()
+    restored = load_checkpoint(tmp_path, "model_best")
+    assert int(restored["epoch"]) == 2
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  np.arange(8, dtype=np.float32) * 2)

@@ -41,6 +41,8 @@ from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_checkpoints,
 )
 
 
@@ -460,7 +462,8 @@ class BaseTrainer:
                         self._best_params = jax.tree.map(jnp.copy, self.params)
                         self._best_epoch = epoch
                         if epoch - self._last_best_flush >= self._save_every:
-                            self.save_model("best", epoch)
+                            # background fetch+write: training continues
+                            self.save_model("best", epoch, block=False)
                             self._last_best_flush = epoch
                         self._plot_figs(eval_res, epoch=epoch)
                 self.log.info(f"{line}")
@@ -468,6 +471,7 @@ class BaseTrainer:
                 if preempted:
                     # cluster TERM (or Ctrl-C): persist the true-resume
                     # checkpoint and stop cleanly; --resume picks up here
+                    wait_for_checkpoints()
                     self.save_model("last", epoch)
                     if self._best_params is not None:
                         self.save_model("best", self._best_epoch)
@@ -477,6 +481,7 @@ class BaseTrainer:
                     return {"preempted": True, "epoch": epoch,
                             "best_eval_bps": best_bps,
                             "best_epoch": best_epoch, "test_res": None}
+        wait_for_checkpoints()   # don't race the in-flight best flush
         if self._best_params is not None:
             self.save_model("best", self._best_epoch)
         self.save_model("last", num_epochs - 1)
@@ -503,18 +508,27 @@ class BaseTrainer:
             self.params = jax.device_put(restored["params"], self.repl)
         return self._run_eval(self.test_loader, self.split["eid"]["test"], "test")
 
-    def save_model(self, name: str = "last", epoch: int = 0) -> None:
+    def save_model(self, name: str = "last", epoch: int = 0,
+                   block: bool = True) -> None:
         """``model_best`` holds params only; ``model_last`` adds the
         optimizer state and step counter for true resume (a capability the
-        reference lacks — its save is params-only, SURVEY.md §5.4)."""
+        reference lacks — its save is params-only, SURVEY.md §5.4).
+        ``block=False`` runs the device fetch + write on a background
+        thread (mid-training best flushes: the fetch alone stalls training
+        ~25 s through this host link); the trainer waits for in-flight
+        saves before testing/returning."""
         params = (self._best_params
                   if name == "best" and self._best_params is not None
                   else self.params)
-        tree = {"params": jax.device_get(params), "epoch": epoch}
+        tree = {"params": params, "epoch": epoch}
         if name == "last":
-            tree["opt_state"] = jax.device_get(self.opt_state)
+            tree["opt_state"] = self.opt_state
             tree["global_step"] = self._global_step
-        save_checkpoint(self.log_dir, f"model_{name}", tree)
+        if block:
+            save_checkpoint(self.log_dir, f"model_{name}",
+                            jax.device_get(tree))
+        else:
+            save_checkpoint_async(self.log_dir, f"model_{name}", tree)
 
     def resume(self, name: str = "last") -> bool:
         """Restore params + optimizer state + epoch from ``model_last``."""

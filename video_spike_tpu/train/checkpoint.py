@@ -28,6 +28,44 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
     return str(path)
 
 
+_PENDING: dict = {}
+
+
+def save_checkpoint_async(directory: str | Path, name: str,
+                          tree: Any) -> None:
+    """Fire-and-forget save for mid-training flushes.
+
+    The expensive part on this host is not the disk write but the
+    device->host fetch (a 504M-param tree is 1-2 GB through a ~1.2 GB/s
+    link: ~25 s of stalled training per flush). The caller hands a tree of
+    on-device arrays it will not donate (e.g. the trainer's best-params
+    copy); the fetch AND the orbax write run on a background thread while
+    training continues. A second save to the same path joins the first;
+    call :func:`wait_for_checkpoints` before reading the artifact or
+    exiting.
+    """
+    import threading
+
+    key = str((Path(directory) / name).resolve())
+    prev = _PENDING.get(key)
+    if prev is not None:
+        prev.join()
+
+    def work():
+        save_checkpoint(directory, name, jax.device_get(tree))
+
+    t = threading.Thread(target=work, daemon=True, name=f"ckpt:{name}")
+    _PENDING[key] = t
+    t.start()
+
+
+def wait_for_checkpoints() -> None:
+    """Join every in-flight async save (call before exit / artifact use)."""
+    for t in list(_PENDING.values()):
+        t.join()
+    _PENDING.clear()
+
+
 def load_checkpoint(directory: str | Path, name: str,
                     target: Optional[Any] = None) -> Any:
     """Load the pytree at `directory/name`; `target` restores dtypes/shapes
