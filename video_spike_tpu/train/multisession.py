@@ -284,21 +284,41 @@ class MultiSessionTrainer:
         return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
+    def _eval_batches(self, loaders, phase: str):
+        """Evaluation inputs are static: stage each session's batches on
+        device once (same rationale as ``BaseTrainer._eval_batches`` — the
+        video re-upload plus per-batch RTTs dominated eval wall time)."""
+        cache = getattr(self, "_eval_input_cache", None)
+        if cache is None:
+            cache = self._eval_input_cache = {}
+        if phase not in cache:
+            staged = []
+            for eid, loader in loaders.items():
+                if loader.num_trials == 0:
+                    continue
+                for batch in loader:
+                    self._init_if_needed(
+                        np.asarray(batch["video"], np.uint8),
+                        np.zeros(1, np.int32))
+                    video, ap, sids, nmask, n_valid = self._pad_batch(
+                        batch, eid)
+                    staged.append(
+                        (eid, video, sids, batch["ap"].shape[0],
+                         np.asarray(batch["ap"])))
+            cache[phase] = staged
+        return cache[phase]
+
     def _eval(self, loaders: Dict[str, SessionDataset], phase: str) -> dict:
         per_session = {}
-        for eid, loader in loaders.items():
-            if loader.num_trials == 0:
-                continue
-            gts, preds = [], []
-            for batch in loader:
-                video, ap, sids, nmask, n_valid = self._pad_batch(batch, eid)
-                self._init_if_needed(np.asarray(batch["video"], np.uint8),
-                                     np.zeros(1, np.int32))
-                out = np.asarray(self._eval_fn(self.params, video, sids))
-                b = batch["ap"].shape[0]
-                n = self.n_neurons[eid]
-                gts.append(np.asarray(batch["ap"])[:, :, :n])
-                preds.append(np.exp(out[:b, :, :n]))
+        sess_out: Dict[str, list] = {}
+        for eid, video, sids, b, ap_np in self._eval_batches(loaders, phase):
+            out = self._eval_fn(self.params, video, sids)
+            sess_out.setdefault(eid, []).append((out, b, ap_np))
+        for eid, outs in sess_out.items():
+            n = self.n_neurons[eid]
+            gts = [ap[:, :, :n] for _, _, ap in outs]
+            # device outputs fetched here, one transfer per batch
+            preds = [np.exp(np.asarray(o)[:b, :, :n]) for o, b, _ in outs]
             gt = np.concatenate(gts, 0)
             pr = np.concatenate(preds, 0)
             res = metrics_list(np.swapaxes(gt, 0, -1), np.swapaxes(pr, 0, -1),
