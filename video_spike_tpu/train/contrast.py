@@ -255,6 +255,30 @@ class ContrastTrainer:
         val_bps = float(np.nanmean(rrr_result[self.eid]["bps"]))
         return {"val_bps": val_bps}
 
+    def _transform_batches(self, data_loader):
+        """Stage a transform loader's frames (uint8) on device once: the
+        nested-RRR validation re-embeds the same train/val frames every
+        cadence, and the per-validation H2D re-upload + per-batch RTTs were
+        the non-compute cost (same pattern as the supervised trainers'
+        eval caches)."""
+        cache = getattr(self, "_transform_cache", None)
+        if cache is None:
+            cache = self._transform_cache = {}
+        key = id(data_loader)
+        if key not in cache:
+            staged = []
+            for batch in data_loader:
+                ref = np.asarray(batch["ref"])
+                if ref.ndim == 5:  # (B, T, C, H, W) trial -> frame batch
+                    b, t = ref.shape[:2]
+                    ref = ref.reshape(b * t, *ref.shape[2:])
+                self._init_if_needed(ref)
+                neural = (np.asarray(batch["neural"])
+                          if "neural" in batch else None)
+                staged.append((jax.device_put(ref), neural))
+            cache[key] = staged
+        return cache[key]
+
     def transform(self, data_loader, use_best: bool = False,
                   return_neural: bool = False):
         """Embed every frame of a (trial-level) loader with mask_ratio=0."""
@@ -264,18 +288,15 @@ class ContrastTrainer:
             else:
                 self._load_model("best_model")
         feats, neurals = [], []
-        for batch in data_loader:
-            ref = np.asarray(batch["ref"])
-            if ref.ndim == 5:  # (B, T, C, H, W) trial batch -> frame batch
-                b, t = ref.shape[:2]
-                ref = ref.reshape(b * t, *ref.shape[2:])
-            self._init_if_needed(ref)
-            out = self._embed_fn(self.params, jnp.asarray(ref))
+        outs = []
+        for ref_dev, neural in self._transform_batches(data_loader):
+            out = self._embed_fn(self.params, ref_dev)
             if "z" not in out:
                 raise KeyError("No embedding found in the model output!")
-            feats.append(np.asarray(out["z"]))
-            if "neural" in batch:
-                neurals.append(np.asarray(batch["neural"]))
+            outs.append(out["z"])   # fetched below, after all dispatches
+            if neural is not None:
+                neurals.append(neural)
+        feats = [np.asarray(z) for z in outs]
         feats = np.concatenate(feats, axis=0)
         if return_neural:
             neurals = np.concatenate(neurals, axis=0)
