@@ -169,3 +169,75 @@ def test_vtt_frame_stride(rng):
     out = model.apply(params, video, sids)
     assert out.shape == (2, 10, 10)
     assert params["params"]["time_resample"].shape == (6, 10)
+
+
+def _tiny_trainer(two_sessions, tmp_path, **train_overrides):
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.train.multisession import MultiSessionTrainer
+
+    config = DictConfig({
+        "training": {"num_epochs": 2, "train_batch_size": 4,
+                     "test_batch_size": 4, **train_overrides},
+        "optimizer": {"lr": 1e-3, "wd": 0.01, "eps": 1e-8,
+                      "warmup_pct": 0.15, "div_factor": 10},
+        "save_plot": True,
+    })
+    trainer = MultiSessionTrainer(model=None, config=config,
+                                  eids=["sessa0000", "sessb0000"],
+                                  data_dir=str(two_sessions),
+                                  log_dir=str(tmp_path))
+    trainer.model = VideoTemporalTransformer.from_config(
+        dict(TINY, n_sessions=2, max_neurons=trainer.max_neurons,
+             t_frames=120, t_bins=100))
+    return trainer
+
+
+def test_multisession_async_best_and_figures(two_sessions, tmp_path,
+                                             monkeypatch):
+    """Best-checkpoint discipline parity with BaseTrainer (round-2 VERDICT):
+    improvement epochs stash on device and flush through the async writer
+    (no blocking device_get in the epoch loop); the figure channel records
+    best-epoch plots in metrics.jsonl."""
+    import json
+    import os
+
+    import video_spike_tpu.train.multisession as ms
+
+    trainer = _tiny_trainer(two_sessions, tmp_path)
+    async_calls, sync_calls = [], []
+    real_async = ms.save_checkpoint_async
+    real_sync = ms.save_checkpoint
+    monkeypatch.setattr(ms, "save_checkpoint_async",
+                        lambda d, n, t: (async_calls.append(n),
+                                         real_async(d, n, t))[1])
+    monkeypatch.setattr(ms, "save_checkpoint",
+                        lambda d, n, t: (sync_calls.append(n),
+                                         real_sync(d, n, t))[1])
+    res = trainer.train()
+    # the first improvement flushed best asynchronously; no synchronous
+    # model_best write happened inside the epoch loop (only model_last at
+    # the end, plus a final best flush IF a later epoch improved again)
+    assert "model_best" in async_calls
+    assert np.isfinite(res["best_eval_bps"])
+    # on-device stash exists and drove the test eval without a disk reload
+    assert trainer._best_params is not None
+    # figure channel: jsonl records figure events with on-disk paths
+    lines = [json.loads(l) for l in
+             open(os.path.join(trainer.log_dir, "metrics.jsonl"))]
+    figs = [l for l in lines if "figure" in l]
+    assert figs and all(os.path.exists(f["path"]) for f in figs)
+
+
+def test_multisession_eval_cache_cap_streams(two_sessions, tmp_path):
+    """An eval split beyond the remaining device-cache budget streams
+    instead of pinning HBM (round-2 ADVICE)."""
+    trainer = _tiny_trainer(two_sessions, tmp_path, device_cache_gb=1e-9,
+                            device_cache=False)
+    trainer._device_cache_gb = 1e-9
+    batch = next(iter(trainer.train_loaders["sessa0000"]))
+    trainer._init_if_needed(np.asarray(batch["video"], np.uint8),
+                            np.zeros(1, np.int32))
+    ev1 = trainer._eval(trainer.val_loaders, "eval")
+    assert trainer._eval_input_cache["eval"] is None      # marked too-big
+    ev2 = trainer._eval(trainer.val_loaders, "eval")      # streams again
+    assert ev1["eval_bps"] == ev2["eval_bps"]

@@ -125,6 +125,34 @@ def test_http_round_trip(session):
         batcher.close()
 
 
+def test_http_unheadered_batch_fans_out(session):
+    """A multi-row .npy POSTed without X-Batched must not reach the model
+    with an extra leading dim: when the batcher knows the sample rank the
+    server fans the rows out exactly like the X-Batched path."""
+    batcher = MicroBatcher(session.predict, max_batch=8, max_delay_ms=2,
+                           sample_ndim=1)
+    server = serve_http(batcher, port=0, host="127.0.0.1", block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(5)
+        rows = rng.normal(size=(3, N_FEAT)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, rows)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")   # note: no X-Batched header
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.load(io.BytesIO(r.read()))
+        direct = session.predict(rows)
+        assert out.shape == direct.shape
+        np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 def test_from_checkpoint_both_restore_paths(tmp_path):
     """from_checkpoint restores with and without a sample-input target and
     builds the model through the registry from a plain-dict config."""

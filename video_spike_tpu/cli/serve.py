@@ -48,11 +48,15 @@ def make_app(argv=None):
     session = InferenceSession.from_checkpoint(
         config.model, args.ckpt_dir, ckpt_name=args.ckpt_name,
         bucket_sizes=(1, 2, 4, 8, args.max_batch))
+    sample_ndim = None
     if args.input_dim:
         log.info("warming compile buckets...")
-        session.warmup(np.zeros((args.input_dim,), np.float32))
+        row = np.zeros((args.input_dim,), np.float32)
+        session.warmup(row)
+        sample_ndim = row.ndim
     batcher = MicroBatcher(session.predict, max_batch=args.max_batch,
-                           max_delay_ms=args.max_delay_ms)
+                           max_delay_ms=args.max_delay_ms,
+                           sample_ndim=sample_ndim)
     log.info(f"serving on {args.host}:{args.port} "
              f"(buckets {session.buckets})")
     return args, session, batcher

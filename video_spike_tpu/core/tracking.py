@@ -44,6 +44,25 @@ class Tracker:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_figure(self, name: str, fig, step: Optional[int] = None,
+                   path: Optional[str] = None) -> None:
+        """Figure channel (the reference logs best-epoch gt/pred figures
+        into wandb, ``/root/reference/src/trainer/base.py:122-127``): wandb
+        gets the live Image when enabled; the JSONL always records a
+        ``figure`` event with the on-disk path so headless runs keep the
+        artifact trail. The caller owns saving/closing the figure when it
+        passes ``path`` pre-saved; otherwise the figure is saved here."""
+        if path is None:
+            path = os.path.join(os.path.dirname(self._path), f"{name}.png")
+            fig.savefig(path)
+        record = {"t": round(time.time() - self._t0, 3),
+                  "figure": name, "path": path}
+        if step is not None:
+            record["step"] = step
+        self._file.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(fig)}, step=step)
+
     def close(self) -> None:
         self._file.close()
         if self._wandb is not None:

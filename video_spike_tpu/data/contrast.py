@@ -136,13 +136,14 @@ def make_contrast_loader(dataset_path: str, mode: str = "pretrain",
     class _Loader:
         def __init__(self, ds):
             self.dataset = ds
-            self.batch_size = batch_size
+            self.batch_size = batch_size  # live: the sharded SSL trainer
+            # scales this to batch x data-axis (per-device batch semantics)
 
         def __iter__(self):
-            return dataset.iter_batches(batch_size, shuffle=shuffle)
+            return dataset.iter_batches(self.batch_size, shuffle=shuffle)
 
         def __len__(self):
-            return (len(dataset) + batch_size - 1) // batch_size
+            return (len(dataset) + self.batch_size - 1) // self.batch_size
 
     return _Loader(dataset), 1
 

@@ -21,9 +21,14 @@ import numpy as np
 
 class MicroBatcher:
     def __init__(self, predict_fn: Callable, max_batch: int = 16,
-                 max_delay_ms: float = 5.0):
+                 max_delay_ms: float = 5.0,
+                 sample_ndim: Optional[int] = None):
         self.predict_fn = predict_fn
         self.max_batch = max_batch
+        # rank of ONE sample (no batch dim); lets the HTTP front end detect
+        # a client that POSTed a batch without the X-Batched header and fan
+        # it out instead of surfacing a shape error from inside model.apply
+        self.sample_ndim = sample_ndim
         self.max_delay_s = max_delay_ms / 1e3
         self._queue: List[Tuple[np.ndarray, Optional[int], Future, float]] = []
         self._lock = threading.Condition()

@@ -53,8 +53,16 @@ def _make_handler(batcher):
                               allow_pickle=False)
                 sid = self.headers.get("X-Session-Id")
                 sid = int(sid) if sid is not None else None
-                if arr.ndim and arr.shape[0] > 1 and self.headers.get(
-                        "X-Batched") == "1":
+                sample_ndim = getattr(batcher, "sample_ndim", None)
+                batched = (self.headers.get("X-Batched") == "1"
+                           and arr.ndim and arr.shape[0] > 1)
+                # a multi-row payload without the header would reach the
+                # model with an extra leading dim and die with an opaque
+                # shape error deep inside model.apply — fan it out instead
+                if (not batched and sample_ndim is not None
+                        and arr.ndim == sample_ndim + 1):
+                    batched = True
+                if batched:
                     futs = [batcher.submit(row, sid) for row in arr]
                     out = np.stack([f.result(timeout=60) for f in futs])
                 else:

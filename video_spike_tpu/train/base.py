@@ -286,6 +286,7 @@ class BaseTrainer:
                 f"streaming per step")
             self._device_cache_enabled = False
             return False
+        self._staged_bytes = X.nbytes + A.nbytes
         self._init_if_needed(X[:1])
         self._dev_data = (jax.device_put(X, self.batch_shd),
                           jax.device_put(A, self.batch_shd))
@@ -371,24 +372,43 @@ class BaseTrainer:
             "lr": float(self.schedule(self._global_step)),
         }
 
+    def _stage_eval_batch(self, batch):
+        inputs = self._assemble_inputs(batch)
+        self._init_if_needed(inputs)
+        ap = np.asarray(batch["ap"])
+        x, ap_d, n_valid = self._pad_and_put(inputs, ap)
+        return (x, ap_d, n_valid, ap, list(batch["eid"]))
+
     def _eval_batches(self, loader, phase: str):
         """Evaluation inputs are static across epochs: stage them on device
         once (the raw-video eval batch is ~30 MB re-uploaded every epoch
         otherwise — ~25 ms through this host link) and replay the device
-        arrays on later calls."""
+        arrays on later calls. The eval cache shares the train cache's
+        ``device_cache_gb`` budget: what the staged train set left over is
+        the cap, and a split beyond it streams per eval instead of pinning
+        HBM permanently."""
+        import itertools
         cache = getattr(self, "_eval_input_cache", None)
         if cache is None:
             cache = self._eval_input_cache = {}
-        if phase not in cache:
-            staged = []
-            for batch in loader:
-                inputs = self._assemble_inputs(batch)
-                self._init_if_needed(inputs)
-                ap = np.asarray(batch["ap"])
-                x, ap_d, n_valid = self._pad_and_put(inputs, ap)
-                staged.append((x, ap_d, n_valid, ap, list(batch["eid"])))
-            cache[phase] = staged
-        return cache[phase]
+        if phase in cache:
+            if cache[phase] is not None:
+                return cache[phase]
+            return (self._stage_eval_batch(b) for b in loader)  # too big
+        cap = max(self._device_cache_gb * 1e9
+                  - getattr(self, "_staged_bytes", 0), 0)
+        staged, nbytes = [], 0
+        it = (self._stage_eval_batch(b) for b in loader)
+        for item in it:
+            staged.append(item)
+            nbytes += item[0].nbytes + item[1].nbytes
+            if nbytes > cap:
+                self.log.info(f"{phase} split exceeds the remaining device "
+                              f"cache budget; streaming eval inputs")
+                cache[phase] = None
+                return itertools.chain(staged, it)
+        cache[phase] = staged
+        return staged
 
     def _run_eval(self, loader, split_eids, phase: str) -> Optional[dict]:
         if loader is None or loader.num_trials == 0:
@@ -528,6 +548,13 @@ class BaseTrainer:
             save_checkpoint(self.log_dir, f"model_{name}",
                             jax.device_get(tree))
         else:
+            if name == "last":
+                # the live params/opt_state buffers are donated by the next
+                # train step; hand the background fetch its own copy so an
+                # async "last" save can never read freed buffers
+                tree = jax.tree.map(
+                    lambda v: jnp.copy(v) if hasattr(v, "dtype") else v,
+                    tree)
             save_checkpoint_async(self.log_dir, f"model_{name}", tree)
 
     def resume(self, name: str = "last") -> bool:
@@ -561,8 +588,16 @@ class BaseTrainer:
         fig1 = plot_gt_pred(gt.mean(0).T, preds.mean(0).T, epoch=tag, modality="ap")
         fig2 = plot_neurons_r2(gt.mean(0), preds.mean(0),
                                neuron_idx=range(min(5, gt.shape[-1])), epoch=tag)
-        fig1.savefig(os.path.join(self.log_dir, f"best_trial_{tag}.png"))
-        fig2.savefig(os.path.join(self.log_dir, f"best_neuron_{tag}.png"))
+        p1 = os.path.join(self.log_dir, f"best_trial_{tag}.png")
+        p2 = os.path.join(self.log_dir, f"best_neuron_{tag}.png")
+        fig1.savefig(p1)
+        fig2.savefig(p2)
+        # figure channel (reference wandb-images parity, src/trainer/
+        # base.py:122-127): wandb Image when enabled, JSONL path ref always
+        self.tracker.log_figure(f"best_trial_{tag}", fig1,
+                                step=self._global_step, path=p1)
+        self.tracker.log_figure(f"best_neuron_{tag}", fig2,
+                                step=self._global_step, path=p2)
         import matplotlib.pyplot as plt
         plt.close(fig1)
         plt.close(fig2)

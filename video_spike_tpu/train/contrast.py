@@ -17,12 +17,26 @@ the encoder runs a single large MXU batch instead of three small ones;
 uint8 frames are resized/normalized on device; the nested RRR validation is
 the closed-form ALS fit from :mod:`video_spike_tpu.train.rrr_pipeline`
 (~3 s warm at recipe shape) instead of a torch LBFGS rebuild per validation.
+
+Distributed: this is the reference's only multi-device training path
+(``accelerate launch`` DDP over <=3 GPUs, ``/root/reference/src/
+pretrain.py:51-57``). Here the whole Accelerate layer collapses into a
+``jax.sharding.Mesh``: the triplet batch is sharded over the mesh ``data``
+axis, the jitted step (params donated, replicated) lets XLA insert the
+gradient all-reduce — and the all-gather the in-batch InfoNCE negatives
+need — over ICI, and the learning rate is scaled by the data-axis size
+(the reference's lr x world_size rule, ``pretrain.py:122``). A batch whose
+row count does not divide the data axis is truncated rather than padded:
+padding rows would contaminate the (n, n) InfoNCE negative matrix, while
+dropping < n_data trailing frames per epoch is loss-exact.
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
+import weakref
 from typing import Dict, Optional
 
 import numpy as np
@@ -35,6 +49,7 @@ from video_spike_tpu.core.logging import logging as make_logger
 from video_spike_tpu.data.contrast import device_frame_transform
 from video_spike_tpu.data.prefetch import background
 from video_spike_tpu.ops.contrastive import loss_fn_
+from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
@@ -49,7 +64,8 @@ class ContrastTrainer:
                  max_steps: int = 1000, criterion=loss_fn_,
                  eid: str = "", log_dir: str = "logs",
                  image_size: int = 144, seed: int = 42, log=None,
-                 validate_every: Optional[int] = None):
+                 validate_every: Optional[int] = None, mesh=None,
+                 device_cache_gb: float = 6.0):
         self.model = model
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
@@ -69,13 +85,37 @@ class ContrastTrainer:
         os.makedirs(self.log_dir, exist_ok=True)
 
         opt = optimizer_config or {}
-        self.tx = optax.adamw(opt.get("lr", 1e-4),
-                              weight_decay=opt.get("wd", 0.01),
+        if mesh is None:
+            mesh = make_mesh(n_model=1)
+        self.mesh = mesh
+        self.batch_shd = batch_sharding(self.mesh)
+        self.repl = replicated(self.mesh)
+        n_data = self.mesh.shape["data"]
+        # the reference's DDP scaling rules (/root/reference/src/
+        # pretrain.py:120-124): each of world_size processes pulls its own
+        # batch (global batch scales with world) and lr scales by world_size
+        lr = opt.get("lr", 1e-4)
+        if n_data > 1 and opt.get("scale_lr_by_data", True):
+            lr = lr * n_data
+            self.log.info(f"data axis {n_data}: lr {opt.get('lr', 1e-4)} -> "
+                          f"{lr} (reference lr x world_size rule)")
+        if (n_data > 1 and opt.get("scale_batch_by_data", True)
+                and hasattr(data_loader, "batch_size")):
+            data_loader.batch_size = data_loader.batch_size * n_data
+            self.log.info(f"global batch = {data_loader.batch_size} "
+                          f"({n_data} x per-device)")
+        self.lr = lr
+        self.tx = optax.adamw(lr, weight_decay=opt.get("wd", 0.01),
                               eps=opt.get("eps", 1e-8))
         from video_spike_tpu.core.tracking import Tracker
         self.tracker = Tracker(self.log_dir, project="video-ssl",
                                name=f"{eid[:5]}_{self.model_name}")
         self._key = jax.random.PRNGKey(seed)
+        # dedicated stream for the nested-RRR validation subsample: best-
+        # checkpoint selection must be reproducible run-to-run (the
+        # reference draws from the unseeded global numpy RNG here —
+        # /root/reference/src/trainer/contrast.py:139 via train_rrr)
+        self._val_rng = np.random.default_rng(seed + 1_000_003)
         self._step_count = 0
         self.params = None
         self.opt_state = None
@@ -84,6 +124,12 @@ class ContrastTrainer:
         self._best_params = None
         self._start_step = 0
         self._best_bps = -np.inf
+        # transform-loader staging cache: weakly keyed so a dead loader's
+        # device buffers evict (an id()-keyed dict could silently serve
+        # stale frames to a new loader at a recycled address), byte-capped
+        # so large val/test splits fall back to streaming embeds
+        self._transform_cache = weakref.WeakKeyDictionary()
+        self._device_cache_gb = float(device_cache_gb)
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -94,13 +140,16 @@ class ContrastTrainer:
         if self.params is None:
             x = device_frame_transform(jnp.asarray(frames[:1]),
                                        self.image_size)
-            self.params = self.model.init(
+            params = self.model.init(
                 {"params": self._key, "masking": self._key}, x)
-            self.opt_state = self.tx.init(self.params)
+            self.params = jax.device_put(params, self.repl)
+            self.opt_state = jax.device_put(self.tx.init(self.params),
+                                            self.repl)
             n = sum(int(np.prod(p.shape))
                     for p in jax.tree.leaves(self.params))
             self.log.info(f"{self.model_name}: {n/1e6:.1f}M params, "
-                          f"max_steps={self.max_steps}")
+                          f"max_steps={self.max_steps}, "
+                          f"mesh={dict(self.mesh.shape)}")
         if self._train_step is not None:
             return
 
@@ -136,15 +185,26 @@ class ContrastTrainer:
                 mask_ratio=0.0))
 
     # ------------------------------------------------------------------
-    def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Dict:
+    def _truncate_rows(self, n: int) -> int:
+        """Largest row count <= n that divides the mesh data axis (0 skips
+        the batch; see the module docstring for why SSL truncates instead
+        of padding)."""
+        n_data = self.mesh.shape["data"]
+        return n - (n % n_data)
+
+    def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Optional[Dict]:
         self._init_if_needed(batch["ref"])
+        b = self._truncate_rows(np.asarray(batch["ref"]).shape[0])
+        if b == 0:
+            return None
         if self.model_name == "MAE":
-            trip = np.asarray(batch["ref"])
+            trip = np.asarray(batch["ref"])[:b]
         else:
-            trip = np.concatenate([batch["ref"], batch["pos"], batch["neg"]],
-                                  axis=0)
+            trip = np.concatenate([batch["ref"][:b], batch["pos"][:b],
+                                   batch["neg"][:b]], axis=0)
         self.params, self.opt_state, loss, aux = self._train_step(
-            self.params, self.opt_state, jnp.asarray(trip), self._next_key())
+            self.params, self.opt_state,
+            jax.device_put(trip, self.batch_shd), self._next_key())
         # keep device scalars: a device_get here costs a ~100 ms tunnel
         # round-trip per step (the step itself is ~16 ms); fit() converts
         # lazily at the logging cadence
@@ -162,6 +222,8 @@ class ContrastTrainer:
             while current_step < self.max_steps and not preempted:
                 for batch in background(iter(self.data_loader), depth=2):
                     logs = self._step(batch, current_step)
+                    if logs is None:   # short batch truncated to zero rows
+                        continue
                     if current_step % 50 == 0:
                         logs = {k: (float(v) if hasattr(v, "dtype") else v)
                                 for k, v in logs.items()}
@@ -223,8 +285,8 @@ class ContrastTrainer:
             self.log_dir, name,
             {"params": self.params, "opt_state": self.opt_state,
              "step": 0, "best_bps": 0.0})
-        self.params = restored["params"]
-        self.opt_state = restored["opt_state"]
+        self.params = jax.device_put(restored["params"], self.repl)
+        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
         self._start_step = int(restored["step"])
         self._step_count = self._start_step
         self._best_bps = float(restored["best_bps"])
@@ -243,9 +305,13 @@ class ContrastTrainer:
         train_emb = train_emb.reshape(train_n, -1, e_dim)
         val_emb = val_emb.reshape(val_n, -1, e_dim)
         t_frames = train_emb.shape[1]
-        n_keep = min(100, t_frames)
-        idx = np.sort(np.random.choice(max(t_frames - 1, n_keep), n_keep,
-                                       replace=False))
+        # the reference's literal 100 is its t_bins (subsample the frame
+        # axis down to the spike-bin count, src/trainer/contrast.py:139)
+        n_keep = min(train_y.shape[1], t_frames)
+        # seeded stream (not the global numpy RNG): val_bps, and with it the
+        # best-checkpoint choice, is identical across identical runs
+        idx = np.sort(self._val_rng.choice(max(t_frames - 1, n_keep), n_keep,
+                                           replace=False))
         data_dict = {self.eid: {
             "X": [train_emb[:, idx], val_emb[:, idx]],
             "y": [train_y, val_y],
@@ -255,29 +321,48 @@ class ContrastTrainer:
         val_bps = float(np.nanmean(rrr_result[self.eid]["bps"]))
         return {"val_bps": val_bps}
 
+    def _stage_batch(self, batch):
+        """One transform batch -> (ref_dev sharded over data, n_valid,
+        neural). Embedding-only batches pad (and later trim) rows — unlike
+        the train step there is no cross-sample loss term to contaminate."""
+        ref = np.asarray(batch["ref"])
+        if ref.ndim == 5:  # (B, T, C, H, W) trial -> frame batch
+            b, t = ref.shape[:2]
+            ref = ref.reshape(b * t, *ref.shape[2:])
+        self._init_if_needed(ref)
+        n_valid = ref.shape[0]
+        pad = (-n_valid) % self.mesh.shape["data"]
+        if pad:
+            ref = np.concatenate([ref, np.repeat(ref[-1:], pad, 0)], axis=0)
+        neural = np.asarray(batch["neural"]) if "neural" in batch else None
+        return jax.device_put(ref, self.batch_shd), n_valid, neural
+
     def _transform_batches(self, data_loader):
         """Stage a transform loader's frames (uint8) on device once: the
         nested-RRR validation re-embeds the same train/val frames every
         cadence, and the per-validation H2D re-upload + per-batch RTTs were
         the non-compute cost (same pattern as the supervised trainers'
-        eval caches)."""
-        cache = getattr(self, "_transform_cache", None)
-        if cache is None:
-            cache = self._transform_cache = {}
-        key = id(data_loader)
-        if key not in cache:
-            staged = []
-            for batch in data_loader:
-                ref = np.asarray(batch["ref"])
-                if ref.ndim == 5:  # (B, T, C, H, W) trial -> frame batch
-                    b, t = ref.shape[:2]
-                    ref = ref.reshape(b * t, *ref.shape[2:])
-                self._init_if_needed(ref)
-                neural = (np.asarray(batch["neural"])
-                          if "neural" in batch else None)
-                staged.append((jax.device_put(ref), neural))
-            cache[key] = staged
-        return cache[key]
+        eval caches). Loaders above the byte cap stream instead of pinning
+        HBM; cache entries die with their loader (weak keys)."""
+        entry = self._transform_cache.get(data_loader, False)
+        if entry is not False:
+            if entry is not None:
+                return entry
+            return (self._stage_batch(b) for b in data_loader)  # too big
+        staged, nbytes = [], 0
+        cap = self._device_cache_gb * 1e9
+        it = (self._stage_batch(b) for b in data_loader)
+        for item in it:
+            staged.append(item)
+            nbytes += item[0].nbytes
+            if nbytes > cap:
+                self.log.info(
+                    f"transform loader exceeds {self._device_cache_gb} GB "
+                    f"device cache; streaming embeds")
+                self._transform_cache[data_loader] = None
+                return itertools.chain(staged, it)
+        self._transform_cache[data_loader] = staged
+        return staged
 
     def transform(self, data_loader, use_best: bool = False,
                   return_neural: bool = False):
@@ -287,16 +372,16 @@ class ContrastTrainer:
                 self.params = self._best_params
             else:
                 self._load_model("best_model")
-        feats, neurals = [], []
+        neurals = []
         outs = []
-        for ref_dev, neural in self._transform_batches(data_loader):
+        for ref_dev, n_valid, neural in self._transform_batches(data_loader):
             out = self._embed_fn(self.params, ref_dev)
             if "z" not in out:
                 raise KeyError("No embedding found in the model output!")
-            outs.append(out["z"])   # fetched below, after all dispatches
+            outs.append((out["z"], n_valid))  # fetched after all dispatches
             if neural is not None:
                 neurals.append(neural)
-        feats = [np.asarray(z) for z in outs]
+        feats = [np.asarray(z)[:n] for z, n in outs]
         feats = np.concatenate(feats, axis=0)
         if return_neural:
             neurals = np.concatenate(neurals, axis=0)
@@ -322,7 +407,7 @@ class ContrastTrainer:
             return False
         target = {"params": self.params} if self.params is not None else None
         restored = load_checkpoint(self.log_dir, name, target)
-        self.params = restored["params"]
+        self.params = jax.device_put(restored["params"], self.repl)
         if self.opt_state is None:
             self.opt_state = self.tx.init(self.params)
         return True

@@ -34,6 +34,8 @@ from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_checkpoints,
 )
 
 
@@ -107,6 +109,15 @@ class MultiSessionTrainer:
         self._gstep = 0
         self._start_epoch = 0
         self._best_bps = -np.inf
+        # best-checkpoint discipline mirrors BaseTrainer: improvements stash
+        # an on-device copy (~1 ms) and the disk write (a full device_get
+        # through the host link) happens asynchronously at the save_every
+        # cadence + once at the end
+        self._best_params = None
+        self._best_epoch = -1
+        self._last_best_flush = -(1 << 30)
+        self._save_every = int(config.training.get("save_every", 100) or 100)
+        self._staged_bytes = 0
         self._rng = np.random.default_rng(seed)
         self._device_cache_enabled = bool(
             config.training.get("device_cache", True))
@@ -216,6 +227,7 @@ class MultiSessionTrainer:
             self.log.info("dataset exceeds device cache cap; streaming")
             self._device_cache_enabled = False
             return False
+        self._staged_bytes = V.nbytes + A.nbytes
         pad = (-V.shape[0]) % self.mesh.shape["data"]
         if pad:
             V, A, S, M = (np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
@@ -284,32 +296,51 @@ class MultiSessionTrainer:
         return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
+    def _iter_staged_eval(self, loaders):
+        for eid, loader in loaders.items():
+            if loader.num_trials == 0:
+                continue
+            for batch in loader:
+                self._init_if_needed(
+                    np.asarray(batch["video"], np.uint8),
+                    np.zeros(1, np.int32))
+                video, ap, sids, nmask, n_valid = self._pad_batch(
+                    batch, eid)
+                yield (eid, video, sids, batch["ap"].shape[0],
+                       np.asarray(batch["ap"]))
+
     def _eval_batches(self, loaders, phase: str):
         """Evaluation inputs are static: stage each session's batches on
         device once (same rationale as ``BaseTrainer._eval_batches`` — the
-        video re-upload plus per-batch RTTs dominated eval wall time)."""
+        video re-upload plus per-batch RTTs dominated eval wall time).
+        Shares the train cache's ``device_cache_gb`` budget; splits beyond
+        the remainder stream instead of pinning HBM."""
+        import itertools
         cache = getattr(self, "_eval_input_cache", None)
         if cache is None:
             cache = self._eval_input_cache = {}
-        if phase not in cache:
-            staged = []
-            for eid, loader in loaders.items():
-                if loader.num_trials == 0:
-                    continue
-                for batch in loader:
-                    self._init_if_needed(
-                        np.asarray(batch["video"], np.uint8),
-                        np.zeros(1, np.int32))
-                    video, ap, sids, nmask, n_valid = self._pad_batch(
-                        batch, eid)
-                    staged.append(
-                        (eid, video, sids, batch["ap"].shape[0],
-                         np.asarray(batch["ap"])))
-            cache[phase] = staged
-        return cache[phase]
+        if phase in cache:
+            if cache[phase] is not None:
+                return cache[phase]
+            return self._iter_staged_eval(loaders)  # too big: stream
+        cap = max(self._device_cache_gb * 1e9 - self._staged_bytes, 0)
+        staged, nbytes = [], 0
+        it = self._iter_staged_eval(loaders)
+        for item in it:
+            staged.append(item)
+            nbytes += item[1].nbytes
+            if nbytes > cap:
+                self.log.info(f"{phase} split exceeds the remaining device "
+                              f"cache budget; streaming eval inputs")
+                cache[phase] = None
+                return itertools.chain(staged, it)
+        cache[phase] = staged
+        return staged
 
-    def _eval(self, loaders: Dict[str, SessionDataset], phase: str) -> dict:
+    def _eval(self, loaders: Dict[str, SessionDataset], phase: str,
+              return_outputs: bool = False) -> dict:
         per_session = {}
+        gt_out, pred_out = {}, {}
         sess_out: Dict[str, list] = {}
         for eid, video, sids, b, ap_np in self._eval_batches(loaders, phase):
             out = self._eval_fn(self.params, video, sids)
@@ -324,11 +355,39 @@ class MultiSessionTrainer:
             res = metrics_list(np.swapaxes(gt, 0, -1), np.swapaxes(pr, 0, -1),
                                metrics=("bps", "rsquared"))
             per_session[eid] = res
+            if return_outputs:
+                gt_out[eid], pred_out[eid] = gt, pr
         agg = {f"{phase}_bps": round(float(np.mean(
                    [r["bps"] for r in per_session.values()])), 5),
                f"{phase}_rsquared": round(float(np.mean(
                    [r["rsquared"] for r in per_session.values()])), 5)}
-        return {"per_session": per_session, **agg}
+        out = {"per_session": per_session, **agg}
+        if return_outputs:
+            out["gt"], out["preds"] = gt_out, pred_out
+        return out
+
+    def _plot_figs(self, ev: dict, tag: str) -> None:
+        """Best-epoch gt/pred + per-neuron R² figures per session, routed
+        through the tracker figure channel (reference parity,
+        ``/root/reference/src/trainer/base.py:122-127``)."""
+        if not self.config.get("save_plot") or "gt" not in ev:
+            return
+        from video_spike_tpu.viz.plots import plot_gt_pred, plot_neurons_r2
+        import matplotlib.pyplot as plt
+        for eid, gt in ev["gt"].items():
+            pr = ev["preds"][eid]
+            fig1 = plot_gt_pred(gt.mean(0).T, pr.mean(0).T, epoch=tag,
+                                modality="ap")
+            fig2 = plot_neurons_r2(gt.mean(0), pr.mean(0),
+                                   neuron_idx=range(min(5, gt.shape[-1])),
+                                   epoch=tag)
+            for fig, kind in ((fig1, "trial"), (fig2, "neuron")):
+                name = f"best_{kind}_{eid[:5]}_{tag}"
+                path = os.path.join(self.log_dir, f"{name}.png")
+                fig.savefig(path)
+                self.tracker.log_figure(name, fig, step=self._gstep,
+                                        path=path)
+                plt.close(fig)
 
     def _save_last(self, epoch: int) -> None:
         """True-resume checkpoint: params + optimizer state + counters."""
@@ -361,15 +420,28 @@ class MultiSessionTrainer:
                       f"(step {self._gstep})")
         return True
 
+    def _flush_best(self, block: bool = True) -> None:
+        """Write the stashed best params; async keeps training running
+        (the device_get of a large flagship stalls the loop otherwise)."""
+        if self._best_params is None or self._last_best_flush == self._best_epoch:
+            return    # nothing stashed, or this best is already on disk
+        tree = {"params": self._best_params, "epoch": self._best_epoch}
+        if block:
+            save_checkpoint(self.log_dir, "model_best", jax.device_get(tree))
+        else:
+            save_checkpoint_async(self.log_dir, "model_best", tree)
+
     def train(self) -> dict:
         from video_spike_tpu.core.preempt import graceful_stop
 
+        want_figs = bool(self.config.get("save_plot"))
         t0 = time.time()
         with graceful_stop(self.log) as preempted:
             for epoch in range(self._start_epoch,
                                self.config.training.num_epochs):
                 tr = self.train_epoch()
-                ev = self._eval(self.val_loaders, "eval")
+                ev = self._eval(self.val_loaders, "eval",
+                                return_outputs=want_figs)
                 line = {"epoch": epoch, **tr,
                         "eval_bps": ev["eval_bps"],
                         "eval_rsquared": ev["eval_rsquared"]}
@@ -377,28 +449,46 @@ class MultiSessionTrainer:
                 self.tracker.log(line, step=self._gstep)
                 if ev["eval_bps"] > self._best_bps:
                     self._best_bps = ev["eval_bps"]
-                    save_checkpoint(self.log_dir, "model_best",
-                                    {"params": jax.device_get(self.params),
-                                     "epoch": epoch})
+                    # on-device stash (~1 ms); disk flush at the save_every
+                    # cadence on a background thread (BaseTrainer policy)
+                    self._best_params = jax.tree.map(jnp.copy, self.params)
+                    self._best_epoch = epoch
+                    if epoch - self._last_best_flush >= self._save_every:
+                        self._flush_best(block=False)
+                        self._last_best_flush = epoch
+                    self._plot_figs(ev, tag=str(epoch))
                 if preempted:
+                    # persist within the cluster grace window and return
+                    # immediately — no best-restore, no test eval (a hard
+                    # kill mid-eval would truncate test_results.npy)
+                    wait_for_checkpoints()
                     self._save_last(epoch)
+                    self._flush_best()
                     self.log.info(f"preempted at epoch {epoch}: "
-                                  f"model_last saved")
-                    break
-            else:
-                self._save_last(self.config.training.num_epochs - 1)
+                                  f"model_last saved, resume with --resume")
+                    return {"preempted": True, "epoch": epoch,
+                            "best_eval_bps": self._best_bps, "test": None}
+            self._save_last(self.config.training.num_epochs - 1)
+        wait_for_checkpoints()   # don't race an in-flight best flush
+        self._flush_best()
         best_bps = self._best_bps
         self.log.info(f"trained in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps}")
-        if checkpoint_exists(self.log_dir, "model_best"):
+        if self._best_params is not None:
+            self.params = self._best_params   # already device-resident
+        elif checkpoint_exists(self.log_dir, "model_best"):
             restored = load_checkpoint(self.log_dir, "model_best",
                                        {"params": self.params, "epoch": 0})
             self.params = jax.device_put(restored["params"], self.repl)
-        test = self._eval(self.test_loaders, "test")
+        test = self._eval(self.test_loaders, "test",
+                          return_outputs=want_figs)
+        self._plot_figs(test, tag="test")
         np.save(os.path.join(self.log_dir, "test_results.npy"),
                 {"test_res": {"test_bps": test["test_bps"],
                               "test_rsquared": test["test_rsquared"]},
                  "per_session": {e: r for e, r in test["per_session"].items()}})
         self.log.info(f"test: {test['test_bps']} bps, "
                       f"{test['test_rsquared']} r2")
-        return {"best_eval_bps": best_bps, "test": test}
+        return {"best_eval_bps": best_bps,
+                "test": {k: v for k, v in test.items()
+                         if k not in ("gt", "preds")}}
