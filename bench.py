@@ -10,7 +10,12 @@ shuffled batch on-device, so steady-state epochs move no video over the
 host link. The one-time staging cost is amortized over the reference's
 200-epoch recipe and is reported on stderr for transparency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+compound keys guarding the rest of the zoo (VERDICT r2 #6): the VTT
+flagship train step and the SSL ViT-Base pretrain step at their recipe
+shapes (chained-scan timing; see scripts/bench_suite.py for the full
+engineering record). The headline `value` stays the Linear number for
+round-to-round continuity. Set BENCH_HEADLINE_ONLY=1 to skip the extras.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` is computed
 against REFERENCE_A100_FPS — now a MEASURED bound rather than an analytic
@@ -28,6 +33,7 @@ measures 89 fps). Sensitivity analysis in BASELINE.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -36,6 +42,100 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+
+
+def _chained(step, carry0, xs_const, iters, warmup=3):
+    """Steady-state s/iter: the jitted step's carry (params/opt_state) is
+    threaded through sequential dispatches — every step consumes the
+    previous one's outputs so nothing can be elided — and synced ONCE at
+    the end via device_get (the reliable barrier on this runtime). A
+    single-step jit keeps the remote compile small (a scan-of-N body takes
+    minutes through the compile service)."""
+    jstep = jax.jit(step, donate_argnums=(0,))
+    carry = carry0
+    for _ in range(warmup):
+        carry = jstep(carry, *xs_const)
+    _ = float(jax.tree.leaves(carry)[0].reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = jstep(carry, *xs_const)
+    _ = float(jax.tree.leaves(carry)[0].reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_vtt_flagship(rng) -> dict:
+    """The end-to-end video->spike flagship at the production recipe
+    (B=16, stride 2, 5 sessions x 668 neurons; BASELINE.md VTT profile)."""
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer
+    from video_spike_tpu.train.multisession import masked_poisson_nll
+    B = 16
+    model = VideoTemporalTransformer(
+        n_sessions=5, max_neurons=668, t_frames=120, t_bins=100,
+        patch_size=16, hidden=256, frame_depth=4, temporal_depth=4,
+        heads=4, mlp_dim=512, frame_stride=2)
+    video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
+                                     dtype=np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, 668)).astype(np.float32))
+    sids = jnp.asarray(rng.integers(0, 5, (B,)).astype(np.int32))
+    nmask = jnp.ones((B, 668), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+
+    def step(carry, video, sids, nmask, ap):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(lambda p: masked_poisson_nll(
+            model.apply(p, video, sids), ap, nmask, jnp.float32(B)))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    dt = _chained(step, (params, tx.init(params)), (video, sids, nmask, ap),
+                  iters=20)
+    return {"vtt_flagship_ms_per_step": round(dt * 1e3, 2),
+            "vtt_flagship_frames_per_s": round(B * 120 / dt, 1)}
+
+
+def bench_ssl_step(rng) -> dict:
+    """One SSL pretrain step at the reference recipe scale (ViT-Base-ish
+    MAE, 144 px, 128 triplets; /root/reference/src/pretrain.py)."""
+    from video_spike_tpu.models.vit_mae import ContrastViTMAE
+    from video_spike_tpu.data.contrast import device_frame_transform
+    from video_spike_tpu.ops.contrastive import loss_fn_
+    cfg = dict(image_size=144, patch_size=16, num_channels=1,
+               hidden_size=768, num_hidden_layers=12,
+               num_attention_heads=12, intermediate_size=3072,
+               decoder_hidden_size=512, decoder_num_hidden_layers=8,
+               decoder_num_attention_heads=16,
+               decoder_intermediate_size=2048, mask_ratio=0.75,
+               norm_pix_loss=False, embed_size=3)
+    model = ContrastViTMAE(config=cfg)
+    trip = jnp.asarray(rng.integers(0, 255, (384, 1, 106, 160),
+                                    dtype=np.uint8))
+    x0 = device_frame_transform(trip[:1], 144)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "masking": jax.random.PRNGKey(1)}, x0)
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+
+    def step(carry, triplet):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+
+        def loss_fn(p):
+            x = device_frame_transform(triplet, 144)
+            b = x.shape[0] // 3
+            out = model.apply(p, x, rngs={"masking": sub})
+            ref, pos, neg = (jax.tree.map(
+                lambda v: v[i * b:(i + 1) * b] if v.ndim > 0 else v, out)
+                for i in range(3))
+            return loss_fn_(ref, pos, neg)["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, key
+
+    dt = _chained(step, (params, tx.init(params), jax.random.PRNGKey(2)),
+                  (trip,), iters=10)
+    return {"ssl_vitbase_ms_per_step": round(dt * 1e3, 2),
+            "ssl_vitbase_frames_per_s": round(384 / dt, 1)}
 
 # measured input-pipeline bound of the reference stack (see docstring and
 # BASELINE.md "vs_baseline denominator"); scripts/torch_reference_bench.py
@@ -131,12 +231,23 @@ def main() -> None:
 
     n_chips = jax.device_count()
     fps_per_chip = MEASURE_STEPS * BATCH * T_FRAMES / dt / n_chips
-    print(json.dumps({
+    record = {
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps_per_chip, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / REFERENCE_A100_FPS, 3),
-    }))
+    }
+    # free the staged dataset before compiling the compound workloads
+    for buf in (X_all, ap_all, params, opt_state):
+        jax.tree.map(lambda a: a.delete() if hasattr(a, "delete") else None,
+                     buf)
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        for sub in (bench_vtt_flagship, bench_ssl_step):
+            try:
+                record.update(sub(rng))
+            except Exception as e:   # the headline must still print
+                record[sub.__name__ + "_error"] = str(e)[:160]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(180)
 def test_two_process_global_mesh_step():
     port = _free_port()
     env_base = dict(os.environ)
@@ -55,3 +54,56 @@ def test_two_process_global_mesh_step():
         losses.append(float(m.group(1)))
     # the loss is a global mean over the sharded batch: identical everywhere
     assert losses[0] == losses[1], losses
+
+
+def test_two_process_real_trainer_epochs(tmp_path):
+    """2 epochs of the REAL BaseTrainer across 2 processes: host-local
+    train shards + make_array_from_process_local_data global batches +
+    replicated eval. Both processes must report identical global metrics;
+    only process 0 writes checkpoints/results."""
+    import json
+
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+
+    fixture = tmp_path / "fix"
+    make_synthetic_session(fixture, eid="dcntrain00", n_trials=16,
+                           n_neurons=5, seed=31, height=32, width=32)
+    log_dir = tmp_path / "logs"
+
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "DCN_SMOKE_FORCE_CPU": "1",
+        "DCN_FIXTURE_DIR": str(fixture),
+        "DCN_LOG_DIR": str(log_dir),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": os.pathsep.join(
+            [os.getcwd(), env_base.get("PYTHONPATH", "")]),
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "video_spike_tpu.parallel.dcn_trainer_smoke"],
+            env=env, cwd=os.getcwd(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = []
+    for pid, out in enumerate(outs):
+        m = re.search(rf"pid={pid} result=(\{{.*\}})", out)
+        assert m, out
+        results.append(json.loads(m.group(1)))
+    # global metrics agree bit-for-bit across processes
+    assert results[0] == results[1], results
+    # process-0-only artifacts exist exactly once
+    run_dir = next(log_dir.glob("dcntr/*/LinearModel"))
+    assert (run_dir / "model_best").exists()
+    assert (run_dir / "test_results.npy").exists()

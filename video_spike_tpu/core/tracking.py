@@ -22,6 +22,16 @@ class Tracker:
                  config: Optional[dict] = None):
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, "metrics.jsonl")
+        # multihost: master-rank-only logging (reference log_utils gating,
+        # /root/reference/src/utils/log_utils.py:45-144) — non-main
+        # processes write to devnull and never init wandb
+        try:
+            import jax
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                self._path = os.devnull
+                use_wandb = False
+        except Exception:
+            pass
         self._file = open(self._path, "a", buffering=1)
         self._t0 = time.time()
         self._wandb = None

@@ -1,0 +1,83 @@
+"""Multi-process run of the REAL supervised trainer (not a toy step).
+
+Two (or more) processes each load their host-local shard of a synthetic
+session's training trials, run ``BaseTrainer.train()`` for a few epochs over
+the global mesh, and print their per-epoch train/eval losses. Because the
+loss is a global mean over the sharded batch, every process must print the
+SAME numbers — ``tests/test_multiprocess_dcn.py`` asserts that equality plus
+the process-0-only checkpoint artifacts.
+
+    JAX_COORDINATOR_ADDRESS=localhost:12345 JAX_NUM_PROCESSES=2 \
+    JAX_PROCESS_ID=<i> DCN_FIXTURE_DIR=... DCN_LOG_DIR=... \
+    python -m video_spike_tpu.parallel.dcn_trainer_smoke
+
+This is the production multi-host path (SURVEY.md §5.8): the reference's
+per-rank DataLoader + DDP all-reduce becomes host-local loading +
+``jax.make_array_from_process_local_data`` + XLA collectives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("DCN_SMOKE_FAULTHANDLER"):
+        import faulthandler
+        faulthandler.dump_traceback_later(
+            int(os.environ["DCN_SMOKE_FAULTHANDLER"]), repeat=True)
+
+    if os.environ.get("DCN_SMOKE_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
+
+    from video_spike_tpu.core.runtime import setup_runtime
+    setup_runtime()
+
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.parallel import multihost as mh
+    from video_spike_tpu.train.base import BaseTrainer
+
+    pid = jax.process_index()
+    data_dir = os.environ["DCN_FIXTURE_DIR"]
+    log_dir = os.environ["DCN_LOG_DIR"]
+    eid = os.environ.get("DCN_EID", "dcntrain00")
+
+    config = config_from_kwargs(
+        {"model": "include:configs/model/linear_me.yaml"})
+    config = update_config("configs/train/linear_me.yaml", config)
+    config["dirs"]["data_dir"] = data_dir
+    config["training"]["num_epochs"] = 2
+    config["training"]["train_batch_size"] = 2 * jax.local_device_count()
+
+    split = split_dataset(data_dir, eid, seed=42)
+    # host-local training shard; val/test stay replicated on every process
+    local_split = dict(split)
+    local_split["train"] = mh.shard_files_for_process(split["train"])
+    train_dl, val_dl, test_dl = make_loader(config, local_split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = NAME2MODEL[config.model.model_class].from_config(config.model)
+
+    trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                          eid=eid, dataset_split_dict=split,
+                          log_dir=log_dir, seed=42)
+    assert trainer._multihost, "expected a multi-process runtime"
+    res = trainer.train()
+    print(f"pid={pid} result="
+          f"{json.dumps({'best_eval_bps': res['best_eval_bps'], 'test_bps': res['test_res']['test_bps'], 'test_loss': res['test_res']['test_loss']})}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

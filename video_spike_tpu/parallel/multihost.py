@@ -1,0 +1,85 @@
+"""Multi-host (multi-process) helpers for the production trainers.
+
+The reference's multi-process story is one DataLoader per DDP rank with an
+implicit gradient all-reduce (``/root/reference/src/pretrain.py:51-57``).
+The TPU-native equivalent (SURVEY.md §5.8): every process runs the SAME
+single program over a global ``jax.sharding.Mesh``; each host loads only its
+own shard of the training trials and contributes its rows to the global
+batch with :func:`jax.make_array_from_process_local_data`; eval inputs are
+replicated host-local arrays turned global with
+:func:`host_local_array_to_global_array`; XLA inserts the cross-host
+collectives (DCN between hosts, ICI within a slice).
+
+These helpers are no-ops in the single-process case, so the trainers carry
+one code path plus thin assembly branches.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def shard_files_for_process(files: Sequence[str]) -> list:
+    """Host-local training shard: process i takes files[i::nproc] (the
+    per-rank DataLoader split of the reference's DDP sampler)."""
+    if not is_multihost():
+        return list(files)
+    return list(files)[jax.process_index()::jax.process_count()]
+
+
+def global_min(value: int) -> int:
+    """Smallest value across processes — the common step count every host
+    must agree on before entering a collective loop (local shards can
+    differ by one batch)."""
+    if not is_multihost():
+        return int(value)
+    from jax.experimental import multihost_utils
+    return int(np.min(multihost_utils.process_allgather(
+        jnp.int32(value))))
+
+
+def local_rows_to_global(sharding, *arrays):
+    """Distinct per-process rows -> one global batch (train path)."""
+    return tuple(jax.make_array_from_process_local_data(sharding, a)
+                 for a in arrays)
+
+
+def replicated_rows_to_global(mesh, spec, *arrays):
+    """Identical-on-every-host rows -> one globally sharded batch (eval
+    path: the val/test loaders are not sharded across hosts)."""
+    from jax.experimental import multihost_utils
+    return tuple(multihost_utils.host_local_array_to_global_array(
+        np.asarray(a), mesh, spec) for a in arrays)
+
+
+def gather_rows(array) -> np.ndarray:
+    """Fetch a batch-sharded global array to every host (eval outputs)."""
+    if not is_multihost():
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
+def replicate_tree(tree, sharding):
+    """Host tree -> fully-replicated global arrays. ``jax.device_put``
+    cannot target non-addressable devices, so the multihost path goes
+    through ``make_array_from_callback`` (every host holds the full
+    value)."""
+    if not is_multihost():
+        return jax.device_put(tree, sharding)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx, a=a: a[idx])
+
+    return jax.tree.map(put, tree)

@@ -36,6 +36,7 @@ from video_spike_tpu.data.dataset import input_modalities
 from video_spike_tpu.data.prefetch import background
 from video_spike_tpu.ops.metrics import metrics_list
 from video_spike_tpu.ops.poisson import poisson_nll_mean
+from video_spike_tpu.parallel import multihost as mh
 from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
@@ -118,6 +119,16 @@ class BaseTrainer:
         self.mesh = mesh
         self.batch_shd = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
+        # multi-host: same single program on every process over the global
+        # mesh; each host feeds its local trial shard into the global batch
+        # (SURVEY.md §5.8 — the Accelerate launcher layer collapses here)
+        self._multihost = mh.is_multihost()
+        self._is_main = jax.process_index() == 0
+        if self._multihost:
+            bs = config.training.train_batch_size
+            assert bs % jax.local_device_count() == 0, (
+                f"multihost per-process batch {bs} must divide the "
+                f"{jax.local_device_count()} local devices")
 
         base_log_dir = log_dir or config.dirs.log_dir
         self.log_dir = os.path.join(
@@ -202,7 +213,7 @@ class BaseTrainer:
     def _init_if_needed(self, sample_inputs: np.ndarray) -> None:
         if self.params is not None:
             return
-        with jax.default_device(jax.devices()[0]):
+        with jax.default_device(jax.local_devices()[0]):
             params = self.model.init(self.keys(), jnp.asarray(sample_inputs[:1]))
         pretrained = self.config.model.get("pretrained_backbone")
         if pretrained:
@@ -220,8 +231,13 @@ class BaseTrainer:
                 lambda p: (p.astype(jnp.bfloat16)
                            if p.dtype == jnp.float32 and p.size >= (1 << 16)
                            else p), params)
-        self.params = jax.device_put(params, self.repl)
-        self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
+        self.params = mh.replicate_tree(params, self.repl)
+        # on replicated global inputs the eager tx.init output is already
+        # replicated over the global mesh (device_put cannot target the
+        # other hosts' devices)
+        self.opt_state = (self.tx.init(self.params) if self._multihost
+                          else jax.device_put(self.tx.init(self.params),
+                                              self.repl))
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.log.info(f"initialized {type(self.model).__name__}: "
                       f"{n_params/1e6:.1f}M params")
@@ -247,15 +263,22 @@ class BaseTrainer:
     # ------------------------------------------------------------------
     def _pad_and_put(self, inputs: np.ndarray, ap: np.ndarray):
         """Pad the batch to a mesh-divisible size; returns device arrays and
-        the valid-row count."""
+        the valid-row count. In multihost mode every process holds the same
+        rows (eval path) and the replicated host batch becomes one globally
+        sharded array."""
         n_data = self.mesh.shape["data"]
         n = inputs.shape[0]
         pad = (-n) % n_data
         if pad:
             inputs = np.concatenate([inputs, np.repeat(inputs[-1:], pad, 0)], 0)
             ap = np.concatenate([ap, np.repeat(ap[-1:], pad, 0)], 0)
-        x = jax.device_put(inputs, self.batch_shd)
-        ap_d = jax.device_put(ap, self.batch_shd)
+        if self._multihost:
+            from jax.sharding import PartitionSpec as P
+            x, ap_d = mh.replicated_rows_to_global(self.mesh, P("data"),
+                                                   inputs, ap)
+        else:
+            x = jax.device_put(inputs, self.batch_shd)
+            ap_d = jax.device_put(ap, self.batch_shd)
         return x, ap_d, jnp.float32(n)
 
     def _stage_device_dataset(self) -> bool:
@@ -263,6 +286,11 @@ class BaseTrainer:
         dataset exceeds the configured cap (streaming path is used then)."""
         if self._dev_data is not None:
             return True
+        if self._multihost:
+            # the HBM trial cache's per-step global index gather would ride
+            # DCN every step across hosts; multihost streams host-local
+            # shards instead (shuffle-within-shard, standard DDP practice)
+            return False
         if not self._device_cache_enabled:
             return False
         xs, aps = [], []
@@ -338,7 +366,38 @@ class BaseTrainer:
             "lr": float(self.schedule(self._global_step)),
         }
 
+    def _train_epoch_multihost(self) -> dict:
+        """One epoch across processes: each host drops its ragged tail
+        batch (DDP drop_last semantics), hosts agree on the common step
+        count, and every step assembles the global batch from the local
+        rows — XLA's gradient all-reduce spans hosts via DCN."""
+        bs = self.config.training.train_batch_size
+        local = []
+        for batch in self.train_loader:
+            inputs = self._assemble_inputs(batch)
+            if inputs.shape[0] < bs:
+                continue
+            local.append((inputs, np.asarray(batch["ap"], np.float32)))
+        steps = mh.global_min(len(local))
+        losses = []
+        for inputs, ap in local[:steps]:
+            self._init_if_needed(inputs)
+            x, ap_d = mh.local_rows_to_global(self.batch_shd, inputs, ap)
+            n_valid = jnp.float32(bs * jax.process_count())
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, x, ap_d, n_valid,
+                jnp.uint32(self._global_step & 0xFFFFFFFF))
+            losses.append(loss)
+            self._global_step += 1
+        loss_vals = np.asarray(jnp.stack(losses))  # replicated scalars
+        return {
+            "train_loss": round(float(loss_vals.mean()), 5),
+            "lr": float(self.schedule(self._global_step)),
+        }
+
     def train_epoch(self) -> dict:
+        if self._multihost:
+            return self._train_epoch_multihost()
         if self._stage_device_dataset():
             return self._train_epoch_cached()
         losses = []
@@ -420,7 +479,7 @@ class BaseTrainer:
             # device scalar; converted once after the loop (syncs cost ~29 ms
             # RTT each on this runtime)
             losses.append(poisson_nll_mean(out, ap_d, n_valid))
-            out = np.asarray(out)[: ap.shape[0]]
+            out = mh.gather_rows(out)[: ap.shape[0]]
             for i, e in enumerate(eids):
                 session[e]["gt"].append(ap[i])
                 session[e]["preds"].append(out[i])
@@ -481,7 +540,12 @@ class BaseTrainer:
                         # it is written at the save_every cadence + at the end
                         self._best_params = jax.tree.map(jnp.copy, self.params)
                         self._best_epoch = epoch
-                        if epoch - self._last_best_flush >= self._save_every:
+                        # multihost: no mid-train async flush — a background
+                        # device_get on one process interleaves runtime work
+                        # against the others' collective program order; the
+                        # stash is written once after the loop instead
+                        if (not self._multihost and
+                                epoch - self._last_best_flush >= self._save_every):
                             # background fetch+write: training continues
                             self.save_model("best", epoch, block=False)
                             self._last_best_flush = epoch
@@ -510,10 +574,13 @@ class BaseTrainer:
 
         test_res = self.test_model()
         if test_res:
-            self._plot_figs(test_res, test=True)
+            if self._is_main:
+                self._plot_figs(test_res, test=True)
             test_res["test_res"].update(best_eval_loss=best_loss,
                                         best_eval_bps=best_bps)
-            np.save(os.path.join(self.log_dir, "test_results.npy"), test_res)
+            if self._is_main:
+                np.save(os.path.join(self.log_dir, "test_results.npy"),
+                        test_res)
             self.log.info(f"{test_res['test_res']}")
         return {"best_eval_bps": best_bps, "best_epoch": best_epoch,
                 "test_res": (test_res or {}).get("test_res")}
@@ -536,7 +603,13 @@ class BaseTrainer:
         ``block=False`` runs the device fetch + write on a background
         thread (mid-training best flushes: the fetch alone stalls training
         ~25 s through this host link); the trainer waits for in-flight
-        saves before testing/returning."""
+        saves before testing/returning. Multihost: EVERY process calls in —
+        the orbax save embeds a global barrier (an early return on non-main
+        ranks deadlocks the primary there), and orbax writes from the
+        primary host only; saves are forced synchronous so the barrier
+        stays in program order on all ranks."""
+        if self._multihost:
+            block = True
         params = (self._best_params
                   if name == "best" and self._best_params is not None
                   else self.params)

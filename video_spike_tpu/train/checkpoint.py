@@ -17,12 +17,20 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
-    """Save `tree` under `directory/name`, replacing any previous copy."""
+    """Save `tree` under `directory/name`, replacing any previous copy.
+
+    Multi-process: orbax's save embeds a global barrier, so EVERY process
+    must call this (the primary host does the actual write). Only the
+    primary clears the previous copy; a pre-save barrier keeps the others
+    from racing into orbax while the directory is being removed."""
     path = (Path(directory) / name).resolve()
     ckptr = ocp.StandardCheckpointer()
-    if path.exists():
+    if jax.process_index() == 0 and path.exists():
         import shutil
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"pre_save:{path}")
     ckptr.save(path, tree)
     ckptr.wait_until_finished()
     return str(path)
