@@ -43,6 +43,11 @@ VARIANTS = {
     "v4_wide_mlp": (16, 512, 2, 2, 8, 2048),
     # same-depth wider MLP at hidden 256 (capacity up, K stays 256)
     "v5_mlp1024":  (16, 256, 4, 4, 4, 1024),
+    # round-2 combinations: the head_dim-128 win applied to the wide shape,
+    # and the head_dim lever pushed to a single 256-wide head
+    "v6_wide_h4":  (16, 512, 2, 2, 4, 1024),
+    "v7_heads1":   (16, 256, 4, 4, 1, 512),
+    "v8_wide_h2":  (16, 512, 2, 2, 2, 1024),
 }
 
 
@@ -84,7 +89,8 @@ def main():
     stride = int(os.environ.get("VTT_SWEEP_STRIDE", 2))
     T, HW, N, S = 120, 128, 668, 5
     iters = int(os.environ.get("VTT_SWEEP_ITERS", 20))
-    only = os.environ.get("VTT_SWEEP_ONLY")
+    only = os.environ.get("VTT_SWEEP_ONLY")  # comma-separated names
+    only = set(only.split(",")) if only else None
 
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.integers(0, 255, (B, T, 1, HW, HW), np.uint8))
@@ -92,7 +98,7 @@ def main():
     sids = jnp.asarray(rng.integers(0, S, (B,)).astype(np.int32))
 
     for name, (patch, d, fd, td, heads, mlp) in VARIANTS.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         model = VideoTemporalTransformer(
             n_sessions=S, max_neurons=N, t_frames=T, t_bins=100,

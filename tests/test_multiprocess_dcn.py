@@ -107,3 +107,57 @@ def test_two_process_real_trainer_epochs(tmp_path):
     run_dir = next(log_dir.glob("dcntr/*/LinearModel"))
     assert (run_dir / "model_best").exists()
     assert (run_dir / "test_results.npy").exists()
+
+
+def test_two_process_multisession_trainer(tmp_path):
+    """2 epochs of the REAL MultiSessionTrainer across 2 processes:
+    host-local per-session shards, mixed-session global batches, identical
+    global metrics everywhere, rank-0 artifacts."""
+    import json
+
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+
+    fixture = tmp_path / "fix"
+    for i, eid in enumerate(["dcnms00000", "dcnms11111"]):
+        make_synthetic_session(fixture, eid=eid, n_trials=12,
+                               n_neurons=4 + i, seed=77 + i,
+                               height=32, width=32)
+    log_dir = tmp_path / "logs"
+
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "DCN_SMOKE_FORCE_CPU": "1",
+        "DCN_MODE": "multisession",
+        "DCN_EID": "dcnms00000,dcnms11111",
+        "DCN_FIXTURE_DIR": str(fixture),
+        "DCN_LOG_DIR": str(log_dir),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": os.pathsep.join(
+            [os.getcwd(), env_base.get("PYTHONPATH", "")]),
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "video_spike_tpu.parallel.dcn_trainer_smoke"],
+            env=env, cwd=os.getcwd(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = []
+    for pid, out in enumerate(outs):
+        m = re.search(rf"pid={pid} result=(\{{.*\}})", out)
+        assert m, out
+        results.append(json.loads(m.group(1)))
+    assert results[0] == results[1], results
+    run_dir = log_dir / "multi_dcnms_dcnms"
+    assert (run_dir / "model_best").exists()
+    assert (run_dir / "test_results.npy").exists()

@@ -52,6 +52,10 @@ def main() -> None:
     log_dir = os.environ["DCN_LOG_DIR"]
     eid = os.environ.get("DCN_EID", "dcntrain00")
 
+    if os.environ.get("DCN_MODE") == "multisession":
+        _multisession(jax, data_dir, log_dir, eid.split(","))
+        return
+
     config = config_from_kwargs(
         {"model": "include:configs/model/linear_me.yaml"})
     config = update_config("configs/train/linear_me.yaml", config)
@@ -76,6 +80,36 @@ def main() -> None:
     res = trainer.train()
     print(f"pid={pid} result="
           f"{json.dumps({'best_eval_bps': res['best_eval_bps'], 'test_bps': res['test_res']['test_bps'], 'test_loss': res['test_res']['test_loss']})}",
+          flush=True)
+
+
+def _multisession(jax, data_dir: str, log_dir: str, eids) -> None:
+    """2 epochs of the REAL MultiSessionTrainer over the global mesh:
+    host-local per-session shards feed mixed-session global batches."""
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.models.vtt import VideoTemporalTransformer
+    from video_spike_tpu.train.multisession import MultiSessionTrainer
+
+    pid = jax.process_index()
+    config = DictConfig({
+        "training": {"num_epochs": 2,
+                     "train_batch_size": 2 * jax.local_device_count(),
+                     "test_batch_size": 2 * jax.local_device_count()},
+        "optimizer": {"lr": 1e-3, "wd": 0.01, "eps": 1e-8,
+                      "warmup_pct": 0.15, "div_factor": 10},
+    })
+    trainer = MultiSessionTrainer(model=None, config=config, eids=eids,
+                                  data_dir=data_dir, log_dir=log_dir,
+                                  seed=42)
+    trainer.model = VideoTemporalTransformer.from_config({
+        "n_sessions": len(eids), "max_neurons": trainer.max_neurons,
+        "t_frames": 120, "t_bins": 100, "patch_size": 16,
+        "hidden_size": 32, "frame_depth": 1, "temporal_depth": 1,
+        "num_attention_heads": 2, "intermediate_size": 64})
+    assert trainer._multihost, "expected a multi-process runtime"
+    res = trainer.train()
+    print(f"pid={pid} result="
+          f"{json.dumps({'best_eval_bps': res['best_eval_bps'], 'test_bps': res['test']['test_bps']})}",
           flush=True)
 
 

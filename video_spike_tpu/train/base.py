@@ -389,6 +389,9 @@ class BaseTrainer:
                 jnp.uint32(self._global_step & 0xFFFFFFFF))
             losses.append(loss)
             self._global_step += 1
+        if not losses:   # a host shard produced no full batch this epoch
+            return {"train_loss": float("nan"),
+                    "lr": float(self.schedule(self._global_step))}
         loss_vals = np.asarray(jnp.stack(losses))  # replicated scalars
         return {
             "train_loss": round(float(loss_vals.mean()), 5),
@@ -592,7 +595,7 @@ class BaseTrainer:
         elif checkpoint_exists(self.log_dir, "model_best"):
             restored = load_checkpoint(self.log_dir, "model_best",
                                        {"params": self.params, "epoch": 0})
-            self.params = jax.device_put(restored["params"], self.repl)
+            self.params = mh.replicate_tree(restored["params"], self.repl)
         return self._run_eval(self.test_loader, self.split["eid"]["test"], "test")
 
     def save_model(self, name: str = "last", epoch: int = 0,
@@ -641,8 +644,8 @@ class BaseTrainer:
             self.log_dir, f"model_{name}",
             {"params": self.params, "epoch": 0,
              "opt_state": self.opt_state, "global_step": 0})
-        self.params = jax.device_put(restored["params"], self.repl)
-        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
+        self.params = mh.replicate_tree(restored["params"], self.repl)
+        self.opt_state = mh.replicate_tree(restored["opt_state"], self.repl)
         self._global_step = int(restored["global_step"])
         self._start_epoch = int(restored["epoch"]) + 1
         self.log.info(f"resumed from epoch {restored['epoch']} "

@@ -28,6 +28,7 @@ from video_spike_tpu.data.dataset import SessionDataset, split_dataset
 from video_spike_tpu.data.prefetch import background
 from video_spike_tpu.ops.metrics import metrics_list
 from video_spike_tpu.ops.poisson import poisson_nll
+from video_spike_tpu.parallel import multihost as mh
 from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from video_spike_tpu.train.base import make_optimizer
 from video_spike_tpu.train.checkpoint import (
@@ -70,6 +71,12 @@ class MultiSessionTrainer:
         self.mesh = mesh
         self.batch_shd = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
+        # multi-host: same program on every process over the global mesh
+        # (SURVEY.md §5.8); each host streams its own shard of every
+        # session's training trials into the global batch, eval stays
+        # replicated, rank 0 owns artifacts (same contract as BaseTrainer)
+        self._multihost = mh.is_multihost()
+        self._is_main = jax.process_index() == 0
         self.log_dir = os.path.join(log_dir, "multi_" + "_".join(
             e[:5] for e in self.eids))
         os.makedirs(self.log_dir, exist_ok=True)
@@ -87,8 +94,11 @@ class MultiSessionTrainer:
         for eid in self.eids:
             split = split_dataset(data_dir, eid=eid, seed=seed)
             self.splits[eid] = split
+            # host-local training shard (the per-rank DataLoader split of
+            # the reference's DDP sampler); val/test stay replicated
+            train_files = mh.shard_files_for_process(split["train"])
             self.train_loaders[eid] = SessionDataset(
-                split["train"], bs, shuffle=True, seed=seed, modalities=mods)
+                train_files, bs, shuffle=True, seed=seed, modalities=mods)
             self.val_loaders[eid] = SessionDataset(
                 split["val"], bs, modalities=mods)
             self.test_loaders[eid] = SessionDataset(
@@ -145,6 +155,14 @@ class MultiSessionTrainer:
         sids = np.full((bp,), self.sid[eid], np.int32)
         nmask = np.zeros((bp, self.max_neurons), np.float32)
         nmask[:, :n] = 1.0
+        if self._multihost:
+            # eval path: every host holds the same rows; the replicated
+            # host batch becomes one globally sharded array whose row
+            # mask (n_valid=b) keeps only rank 0's copy in the loss
+            from jax.sharding import PartitionSpec as P
+            g = mh.replicated_rows_to_global(self.mesh, P("data"),
+                                             video, ap, sids, nmask)
+            return (*g, jnp.float32(b))
         return (jax.device_put(video, self.batch_shd),
                 jax.device_put(ap, self.batch_shd),
                 jax.device_put(sids, self.batch_shd),
@@ -154,10 +172,16 @@ class MultiSessionTrainer:
     def _init_if_needed(self, video, sids) -> None:
         if self.params is not None:
             return
-        self.params = jax.device_put(
-            self.model.init(self.keys(), jnp.asarray(video[:1]),
-                            jnp.asarray(sids[:1])), self.repl)
-        self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
+        with jax.default_device(jax.local_devices()[0]):
+            params = self.model.init(self.keys(), jnp.asarray(video[:1]),
+                                     jnp.asarray(sids[:1]))
+        self.params = mh.replicate_tree(params, self.repl)
+        # on replicated global inputs the eager tx.init output is already
+        # replicated over the global mesh (device_put cannot target the
+        # other hosts' devices)
+        self.opt_state = (self.tx.init(self.params) if self._multihost
+                          else jax.device_put(self.tx.init(self.params),
+                                              self.repl))
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
         self.log.info(f"VTT: {n/1e6:.1f}M params, sessions={self.eids}, "
                       f"max_neurons={self.max_neurons}")
@@ -201,6 +225,10 @@ class MultiSessionTrainer:
         """
         if self._dev_data is not None:
             return True
+        if self._multihost:
+            # the per-step global index gather would ride DCN every step;
+            # multihost streams host-local shards (BaseTrainer policy)
+            return False
         if not self._device_cache_enabled:
             return False
         vids, aps, sids, masks = [], [], [], []
@@ -280,7 +308,48 @@ class MultiSessionTrainer:
         return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
+    def _train_epoch_multihost(self) -> dict:
+        """One epoch across processes: each host round-robins its local
+        session shards, drops ragged tail batches (DDP drop_last), hosts
+        agree on the common step count, and every step assembles the
+        global mixed-session batch from the local rows — per-row session
+        ids/neuron masks make cross-host session mixing free."""
+        bs = self.config.training.train_batch_size
+        local = []
+        for eid, batch in self._interleaved_batches():
+            video = np.asarray(batch["video"], dtype=np.uint8)
+            ap = np.asarray(batch["ap"], dtype=np.float32)
+            if video.shape[0] < bs:
+                continue
+            n = self.n_neurons[eid]
+            if ap.shape[2] < self.max_neurons:
+                ap = np.pad(ap, ((0, 0), (0, 0),
+                                 (0, self.max_neurons - ap.shape[2])))
+            sids = np.full((bs,), self.sid[eid], np.int32)
+            nmask = np.zeros((bs, self.max_neurons), np.float32)
+            nmask[:, :n] = 1.0
+            local.append((video, ap, sids, nmask))
+        steps = mh.global_min(len(local))
+        losses = []
+        for video, ap, sids, nmask in local[:steps]:
+            self._init_if_needed(video, np.zeros(1, np.int32))
+            g = mh.local_rows_to_global(self.batch_shd, video, ap, sids,
+                                        nmask)
+            n_valid = jnp.float32(bs * jax.process_count())
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, *g, n_valid)
+            losses.append(loss)
+            self._gstep += 1
+        if not losses:   # a host shard produced no full batch this epoch
+            return {"train_loss": float("nan"),
+                    "lr": float(self.schedule(self._gstep))}
+        loss_vals = np.asarray(jnp.stack(losses))  # replicated scalars
+        return {"train_loss": round(float(loss_vals.mean()), 5),
+                "lr": float(self.schedule(self._gstep))}
+
     def train_epoch(self) -> dict:
+        if self._multihost:
+            return self._train_epoch_multihost()
         if self._stage_device_dataset():
             return self._train_epoch_cached()
         losses = []
@@ -349,7 +418,7 @@ class MultiSessionTrainer:
             n = self.n_neurons[eid]
             gts = [ap[:, :, :n] for _, _, ap in outs]
             # device outputs fetched here, one transfer per batch
-            preds = [np.exp(np.asarray(o)[:b, :, :n]) for o, b, _ in outs]
+            preds = [np.exp(mh.gather_rows(o)[:b, :, :n]) for o, b, _ in outs]
             gt = np.concatenate(gts, 0)
             pr = np.concatenate(preds, 0)
             res = metrics_list(np.swapaxes(gt, 0, -1), np.swapaxes(pr, 0, -1),
@@ -371,6 +440,8 @@ class MultiSessionTrainer:
         through the tracker figure channel (reference parity,
         ``/root/reference/src/trainer/base.py:122-127``)."""
         if not self.config.get("save_plot") or "gt" not in ev:
+            return
+        if not self._is_main:
             return
         from video_spike_tpu.viz.plots import plot_gt_pred, plot_neurons_r2
         import matplotlib.pyplot as plt
@@ -411,8 +482,8 @@ class MultiSessionTrainer:
             self.log_dir, f"model_{name}",
             {"params": self.params, "opt_state": self.opt_state,
              "epoch": 0, "global_step": 0, "best_bps": 0.0})
-        self.params = jax.device_put(restored["params"], self.repl)
-        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
+        self.params = mh.replicate_tree(restored["params"], self.repl)
+        self.opt_state = mh.replicate_tree(restored["opt_state"], self.repl)
         self._gstep = int(restored["global_step"])
         self._start_epoch = int(restored["epoch"]) + 1
         self._best_bps = float(restored["best_bps"])
@@ -426,6 +497,9 @@ class MultiSessionTrainer:
         if self._best_params is None or self._last_best_flush == self._best_epoch:
             return    # nothing stashed, or this best is already on disk
         tree = {"params": self._best_params, "epoch": self._best_epoch}
+        if self._multihost:
+            # all-rank orbax barrier must stay in program order
+            block = True
         if block:
             save_checkpoint(self.log_dir, "model_best", jax.device_get(tree))
         else:
@@ -479,14 +553,17 @@ class MultiSessionTrainer:
         elif checkpoint_exists(self.log_dir, "model_best"):
             restored = load_checkpoint(self.log_dir, "model_best",
                                        {"params": self.params, "epoch": 0})
-            self.params = jax.device_put(restored["params"], self.repl)
+            self.params = mh.replicate_tree(restored["params"], self.repl)
         test = self._eval(self.test_loaders, "test",
                           return_outputs=want_figs)
         self._plot_figs(test, tag="test")
-        np.save(os.path.join(self.log_dir, "test_results.npy"),
+        if self._is_main:
+            np.save(
+                os.path.join(self.log_dir, "test_results.npy"),
                 {"test_res": {"test_bps": test["test_bps"],
                               "test_rsquared": test["test_rsquared"]},
-                 "per_session": {e: r for e, r in test["per_session"].items()}})
+                 "per_session": {e: r
+                                 for e, r in test["per_session"].items()}})
         self.log.info(f"test: {test['test_bps']} bps, "
                       f"{test['test_rsquared']} r2")
         return {"best_eval_bps": best_bps,
