@@ -65,14 +65,15 @@ def _chained(step, carry0, xs_const, iters, warmup=3):
 
 def bench_vtt_flagship(rng) -> dict:
     """The end-to-end video->spike flagship at the production recipe
-    (B=16, stride 2, 5 sessions x 668 neurons; BASELINE.md VTT profile)."""
+    (B=16, stride 2, 5 sessions x 668 neurons; round-3 shape — wide-shallow
+    with 256-wide heads, BASELINE.md "VTT shape sweep")."""
     from video_spike_tpu.models.vtt import VideoTemporalTransformer
     from video_spike_tpu.train.multisession import masked_poisson_nll
     B = 16
     model = VideoTemporalTransformer(
         n_sessions=5, max_neurons=668, t_frames=120, t_bins=100,
-        patch_size=16, hidden=256, frame_depth=4, temporal_depth=4,
-        heads=4, mlp_dim=512, frame_stride=2)
+        patch_size=16, hidden=512, frame_depth=2, temporal_depth=2,
+        heads=2, mlp_dim=1024, frame_stride=2)
     video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
                                      dtype=np.uint8))
     ap = jnp.asarray(rng.poisson(1.0, (B, 100, 668)).astype(np.float32))

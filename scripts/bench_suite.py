@@ -90,8 +90,8 @@ def bench_vtt(rng):
     from video_spike_tpu.train.multisession import masked_poisson_nll
     model = VideoTemporalTransformer(
         n_sessions=5, max_neurons=668, t_frames=120, t_bins=100,
-        patch_size=16, hidden=256, frame_depth=4, temporal_depth=4,
-        heads=4, mlp_dim=512)
+        patch_size=16, hidden=512, frame_depth=2, temporal_depth=2,
+        heads=2, mlp_dim=1024, frame_stride=2)  # round-3 recipe shape
     B = 16   # the recipe default (BASELINE.md batch-scaling sweep)
     video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
                                      dtype=np.uint8))

@@ -205,9 +205,15 @@ def main():
     vtt_model = {
         "model_class": "VideoTransformer",
         "t_frames": 120, "t_bins": 100,
-        "patch_size": 16, "hidden_size": 256,
-        "frame_depth": 4, "temporal_depth": 4,
-        "num_attention_heads": 4, "intermediate_size": 512,
+        # round-3 shape sweep (BASELINE.md "VTT shape sweep"): wide-shallow
+        # with 256-wide attention heads Pareto-dominates the round-2
+        # 256/4-deep/64-wide-head shape — test bps 0.4943 -> 0.5009 at
+        # 34.4 -> 24.6 ms/step (12.7 -> 34.5% MFU). Head width was the
+        # single biggest lever: 64-wide heads under-fill the 128x128 MXU
+        # in every attention matmul.
+        "patch_size": 16, "hidden_size": 512,
+        "frame_depth": 2, "temporal_depth": 2,
+        "num_attention_heads": 2, "intermediate_size": 1024,
         # encode every 2nd frame: 60 Hz face video is temporally
         # redundant, the frame encoder is ~95% of the step, and on the
         # 5-session fixture stride 2 matches stride 1's quality exactly

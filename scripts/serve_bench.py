@@ -82,9 +82,9 @@ def main():
     # VTT flagship on raw video trials
     vtt = VideoTemporalTransformer(n_sessions=5, max_neurons=668,
                                    t_frames=120, t_bins=100, patch_size=16,
-                                   hidden=256, frame_depth=4,
-                                   temporal_depth=4, heads=4, mlp_dim=512,
-                                   frame_stride=2)  # production recipe
+                                   hidden=512, frame_depth=2,
+                                   temporal_depth=2, heads=2, mlp_dim=1024,
+                                   frame_stride=2)  # round-3 recipe
     video_row = np.random.default_rng(0).integers(
         0, 255, (120, 1, 128, 128), dtype=np.uint8)
     bench_model("vtt_flagship", vtt,

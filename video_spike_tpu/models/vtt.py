@@ -19,6 +19,12 @@ capability the reference approximates with the frozen VideoMAE probe
 
 Sharding: batch over the mesh ``data`` axis; the stacked session heads and
 the MLP widths shard naturally over ``model``.
+
+The production shape lives in ``configs/model/vtt_video.yaml`` (round-3
+sweep, BASELINE.md "VTT shape sweep": hidden 512 x depth 2/2 with TWO
+256-wide attention heads — 64-wide heads under-fill the 128x128 MXU and
+were the single biggest cost in the round-2 shape). The class defaults
+below are the historical round-1/2 shape kept for the recorded profiles.
 """
 
 from __future__ import annotations
