@@ -95,17 +95,20 @@ def bench_vtt_flagship(rng) -> dict:
             "vtt_flagship_frames_per_s": round(B * 120 / dt, 1)}
 
 
-def bench_ssl_step(rng) -> dict:
+def bench_ssl_step(rng, turbo: bool = False) -> dict:
     """One SSL pretrain step at the reference recipe scale (ViT-Base-ish
-    MAE, 144 px, 128 triplets; /root/reference/src/pretrain.py)."""
+    MAE, 144 px, 128 triplets; /root/reference/src/pretrain.py). With
+    ``turbo``, the quality-gated MXU-matched head shape
+    (vit_mae_turbo.yaml; BASELINE.md "SSL head-width sweep")."""
     from video_spike_tpu.models.vit_mae import ContrastViTMAE
     from video_spike_tpu.data.contrast import device_frame_transform
     from video_spike_tpu.ops.contrastive import loss_fn_
     cfg = dict(image_size=144, patch_size=16, num_channels=1,
                hidden_size=768, num_hidden_layers=12,
-               num_attention_heads=12, intermediate_size=3072,
+               num_attention_heads=3 if turbo else 12,
+               intermediate_size=3072,
                decoder_hidden_size=512, decoder_num_hidden_layers=8,
-               decoder_num_attention_heads=16,
+               decoder_num_attention_heads=2 if turbo else 16,
                decoder_intermediate_size=2048, mask_ratio=0.75,
                norm_pix_loss=False, embed_size=3)
     model = ContrastViTMAE(config=cfg)
@@ -135,8 +138,13 @@ def bench_ssl_step(rng) -> dict:
 
     dt = _chained(step, (params, tx.init(params), jax.random.PRNGKey(2)),
                   (trip,), iters=10)
-    return {"ssl_vitbase_ms_per_step": round(dt * 1e3, 2),
-            "ssl_vitbase_frames_per_s": round(384 / dt, 1)}
+    key = "ssl_vitbase_turbo" if turbo else "ssl_vitbase"
+    return {f"{key}_ms_per_step": round(dt * 1e3, 2),
+            f"{key}_frames_per_s": round(384 / dt, 1)}
+
+
+def bench_ssl_turbo(rng) -> dict:
+    return bench_ssl_step(rng, turbo=True)
 
 # measured input-pipeline bound of the reference stack (see docstring and
 # BASELINE.md "vs_baseline denominator"); scripts/torch_reference_bench.py
@@ -243,7 +251,7 @@ def main() -> None:
         jax.tree.map(lambda a: a.delete() if hasattr(a, "delete") else None,
                      buf)
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
-        for sub in (bench_vtt_flagship, bench_ssl_step):
+        for sub in (bench_vtt_flagship, bench_ssl_step, bench_ssl_turbo):
             try:
                 record.update(sub(rng))
             except Exception as e:   # the headline must still print

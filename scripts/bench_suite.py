@@ -117,15 +117,19 @@ def bench_vtt(rng):
             "frames_per_s": round(B * 120 / dt, 1)}
 
 
-def bench_ssl_base(rng):
-    """The real pretrain recipe: ViT-Base-ish MAE, 144 px, batch 128."""
+def bench_ssl_base(rng, turbo=False):
+    """The real pretrain recipe: ViT-Base-ish MAE, 144 px, batch 128.
+    ``turbo`` swaps in the quality-gated MXU-matched head shape
+    (vit_mae_turbo.yaml; BASELINE.md "SSL head-width sweep")."""
     from video_spike_tpu.models.vit_mae import ContrastViTMAE
     from video_spike_tpu.data.contrast import device_frame_transform
     from video_spike_tpu.ops.contrastive import loss_fn_
     cfg = dict(image_size=144, patch_size=16, num_channels=1,
-               hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+               hidden_size=768, num_hidden_layers=12,
+               num_attention_heads=3 if turbo else 12,
                intermediate_size=3072, decoder_hidden_size=512,
-               decoder_num_hidden_layers=8, decoder_num_attention_heads=16,
+               decoder_num_hidden_layers=8,
+               decoder_num_attention_heads=2 if turbo else 16,
                decoder_intermediate_size=2048, mask_ratio=0.75,
                norm_pix_loss=False, embed_size=3)
     model = ContrastViTMAE(config=cfg)
@@ -155,7 +159,8 @@ def bench_ssl_base(rng):
     dt = timed_chained(jstep, params, opt, trip, key, n=10)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     steps_40k_min = 40000 * dt / 60
-    return {"workload": "ssl_vitbase_144px_step", "batch_triplets": 128,
+    name = "ssl_vitbase_turbo_144px_step" if turbo else "ssl_vitbase_144px_step"
+    return {"workload": name, "batch_triplets": 128,
             "params_m": round(n / 1e6, 1),
             "ms_per_step": round(dt * 1e3, 2),
             "recipe_40k_steps_min": round(steps_40k_min, 1)}
@@ -198,8 +203,9 @@ def main():
     setup_runtime()
     rng = np.random.default_rng(0)
     benches = {"linear_video": bench_linear_video, "vtt": bench_vtt,
-               "ssl_base": bench_ssl_base, "metrics": bench_metrics,
-               "rrr": bench_rrr}
+               "ssl_base": bench_ssl_base,
+               "ssl_turbo": lambda rng: bench_ssl_base(rng, turbo=True),
+               "metrics": bench_metrics, "rrr": bench_rrr}
     for name, fn in benches.items():
         if name in args.skip:
             continue

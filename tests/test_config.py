@@ -56,3 +56,21 @@ def test_convert_to_dtype_negative_int():
     assert convert_to_dtype("-12") == -12
     assert isinstance(convert_to_dtype("-12"), int)
     assert convert_to_dtype("hello") == "hello"
+
+
+def test_vit_mae_turbo_config_is_capacity_identical():
+    """The TPU-recommended SSL shape (BASELINE.md "SSL head-width sweep")
+    must differ from the reference-parity config ONLY in attention head
+    count, with head widths that tile the 128-wide MXU."""
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent / "configs" / "model" / "vit_mae"
+    base = yaml.safe_load((root / "vit_mae.yaml").read_text())
+    turbo = yaml.safe_load((root / "vit_mae_turbo.yaml").read_text())
+    assert set(base) == set(turbo)
+    diff = {k for k in base if base[k] != turbo[k]}
+    assert diff == {"num_attention_heads", "decoder_num_attention_heads"}
+    for hidden, heads in ((turbo["hidden_size"], turbo["num_attention_heads"]),
+                          (turbo["decoder_hidden_size"],
+                           turbo["decoder_num_attention_heads"])):
+        assert hidden % heads == 0
+        assert (hidden // heads) % 128 == 0, (hidden, heads)
