@@ -166,6 +166,71 @@ def bench_ssl_base(rng, turbo=False):
             "recipe_40k_steps_min": round(steps_40k_min, 1)}
 
 
+def bench_videomae_probe(rng):
+    """Frozen-backbone VideoMAE probe train step at the reference recipe
+    (/root/reference/src/model/videomae.py:4-36: 16 of 120 frames resized
+    to 224, ViT-Base backbone under stop_gradient, trainable 2-layer
+    readout, batch 8 per configs/train/vmae_video.yaml)."""
+    from video_spike_tpu.models.videomae import VideoMAEProbe
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+    B, N = 8, 436
+    cfg = {"image_size": 224, "patch_size": 16, "num_channels": 3,
+           "num_frames": 16, "tubelet_size": 2, "hidden_size": 768,
+           "num_hidden_layers": 12, "num_attention_heads": 12,
+           "intermediate_size": 3072, "hf_compat": True,
+           "freeze_backbone": True, "pretrained_backbone": None,
+           "encoder": {"output_dim": 256}, "decoder": {"output_dim": 100 * N}}
+    model = VideoMAEProbe(config=cfg)
+    video = jnp.asarray(rng.integers(0, 255, (B, 120, 1, 128, 128),
+                                     dtype=np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video[:1])
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt = tx.init(params)
+
+    def step(params, opt_state, video, ap):
+        loss, grads = jax.value_and_grad(
+            lambda p: poisson_nll_mean(model.apply(p, video), ap))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    # thread params through dispatches, one sync at the end (CLAUDE.md)
+    for _ in range(3):
+        params, opt, loss = jstep(params, opt, video, ap)
+    float(loss)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        params, opt, loss = jstep(params, opt, video, ap)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return {"workload": "videomae_probe_step", "batch": B,
+            "ms_per_step": round(dt * 1e3, 2),
+            "frames_per_s": round(B * 120 / dt, 1)}
+
+
+def bench_cebra(rng):
+    """CEBRA offset10 fit at the reference recipe scale
+    (/root/reference/src/utils/utils.py:306-330: 5000 iterations, batch
+    512) on a session of whisker-crop frames (60k timesteps x 40x40)."""
+    from video_spike_tpu.models.cebra import CEBRA
+    X = rng.normal(size=(60_000, 1600)).astype(np.float32)
+    times = []
+    for seed in range(2):   # cold (incl. compile) then warm (per-session
+        t0 = time.perf_counter()   # cost in a multi-session sweep)
+        model = CEBRA(output_dimension=3, max_iterations=5000,
+                      batch_size=512, seed=seed)
+        model.fit(X)
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(model.losses_[-1])
+    return {"workload": "cebra_fit_5000it_60000x1600",
+            "cold_seconds": round(times[0], 1),
+            "warm_seconds": round(times[1], 1),
+            "note": "whole fit is one lax.scan program; reference cebra "
+                    "runs this per session"}
+
+
 def bench_metrics(rng):
     from video_spike_tpu.ops.metrics import bits_per_spike_per_neuron
     spikes = jnp.asarray(rng.poisson(1.0, (70, 100, 668)).astype(np.float32))
@@ -205,6 +270,8 @@ def main():
     benches = {"linear_video": bench_linear_video, "vtt": bench_vtt,
                "ssl_base": bench_ssl_base,
                "ssl_turbo": lambda rng: bench_ssl_base(rng, turbo=True),
+               "videomae_probe": bench_videomae_probe,
+               "cebra": bench_cebra,
                "metrics": bench_metrics, "rrr": bench_rrr}
     for name, fn in benches.items():
         if name in args.skip:

@@ -98,18 +98,30 @@ class CEBRA:
             neg = model.apply(params, windows(X, negi))[:, 0]
             return info_nce(ref, pos, neg, temp)["loss"]
 
+        # The whole fit is ONE device program: a lax.scan over iterations
+        # instead of a Python loop of per-step dispatches (the reference
+        # drives torch one step at a time; here 5000 host dispatches
+        # through the device link cost ~40 ms each — 201 s of overhead for
+        # ~1 s of compute). X is a jit ARGUMENT, not a closure capture: a
+        # captured array is baked into the program as a constant, which
+        # bloats the HLO by the dataset size (a 60k-frame session is
+        # ~384 MB — the remote TPU compile service rejects it, HTTP 413).
         @jax.jit
-        def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, X, key)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        def run(params, opt_state, X, base_key):
+            def body(carry, i):
+                params, opt_state = carry
+                key = jax.random.fold_in(base_key, i)
+                loss, grads = jax.value_and_grad(loss_fn)(params, X, key)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
 
-        params = self.params
-        for i in range(self.max_iterations):
-            params, opt_state, loss = step(
-                params, opt_state, jax.random.fold_in(self.key, i))
-            if i % 100 == 0:
-                self.losses_.append(float(loss))
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(self.max_iterations))
+            return params, losses
+
+        params, losses = run(self.params, opt_state, X, self.key)
+        # same trace the per-step loop recorded: every 100th iteration
+        self.losses_ = [float(l) for l in np.asarray(losses)[::100]]
         self.params = params
         return self
 
