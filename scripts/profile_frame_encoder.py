@@ -94,7 +94,8 @@ def timed(variant, frames, iters=20):
 
     run = jax.jit(chain)
     out = run(params)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # real barrier
+    # (device_get); block_until_ready can return early on this runtime
     t0 = time.time()
     out = run(out)
     _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])

@@ -25,7 +25,8 @@ def chained(step, carry0, xs_const, iters=20):
 
     run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=iters)[0])
     out = run(carry0)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # real barrier
+    # (device_get); block_until_ready can return early on this runtime
     t0 = time.time()
     out = run(out)
     _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])

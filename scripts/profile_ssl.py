@@ -66,7 +66,8 @@ def step_time(cfg, iters=10):
 
     run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=iters)[0])
     out = run((params, opt, jax.random.PRNGKey(2)))
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # real barrier
+    # (device_get); block_until_ready can return early on this runtime
     t0 = time.time()
     out = run(out)
     _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])

@@ -33,7 +33,8 @@ def chained(step, carry0, xs_const, iters):
 
     run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=iters)[0])
     out = run(carry0)                      # compile + warm
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # real barrier: a
+    # device_get; block_until_ready can return early on this runtime
     t0 = time.time()
     out = run(out)
     _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])  # tunnel-safe barrier
@@ -48,7 +49,13 @@ def main():
 
     B = int(os.environ.get("VTT_PROFILE_BATCH", 8))
     T, HW, N, S = 120, 128, 668, 5
-    hidden = 256
+    # shape knobs default to the historical round-1/2 profile shape; the
+    # round-3 recipe (BASELINE.md "VTT shape sweep") is hidden=512 depth=2
+    # heads=2 mlp=1024 stride=2
+    hidden = int(os.environ.get("VTT_PROFILE_HIDDEN", 256))
+    depth = int(os.environ.get("VTT_PROFILE_DEPTH", 4))
+    heads = int(os.environ.get("VTT_PROFILE_HEADS", 4))
+    mlp = int(os.environ.get("VTT_PROFILE_MLP", 2 * hidden))
     iters = int(os.environ.get("VTT_PROFILE_ITERS", 20))
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.integers(0, 255, (B, T, 1, HW, HW), np.uint8))
@@ -58,8 +65,8 @@ def main():
     stride = int(os.environ.get("VTT_PROFILE_STRIDE", 1))
     model = VideoTemporalTransformer(
         n_sessions=S, max_neurons=N, t_frames=T, t_bins=100, patch_size=16,
-        hidden=hidden, frame_depth=4, temporal_depth=4, heads=4,
-        mlp_dim=2 * hidden, frame_stride=stride)
+        hidden=hidden, frame_depth=depth, temporal_depth=depth, heads=heads,
+        mlp_dim=mlp, frame_stride=stride)
     params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
     tx = optax.adamw(1e-4, weight_decay=0.01)
     opt_state = tx.init(params)
@@ -80,8 +87,10 @@ def main():
     results["frames_per_s"] = B * T / dt
 
     # 2. frame encoder only (fwd+bwd, same (B*T) frame batch)
-    fe = FrameEncoder(16, hidden, 4, 4, 2 * hidden, name="frame_encoder")
-    frames = (video.astype(jnp.float32) / 255.0).reshape(B * T, 1, HW, HW)
+    fe = FrameEncoder(16, hidden, depth, heads, mlp, name="frame_encoder")
+    # the encoder sees every stride-th frame, matching the full model
+    frames = (video[:, ::stride].astype(jnp.float32) / 255.0
+              ).reshape(B * (T // stride), 1, HW, HW)
     fe_params = {"params": params["params"]["frame_encoder"]}
 
     def fe_step(p, frames):
@@ -92,7 +101,8 @@ def main():
                                           iters) * 1e3
 
     # 3. temporal stack only (fwd+bwd on precomputed embeddings)
-    emb = jnp.asarray(rng.normal(size=(B, T, hidden)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(B, T // stride, hidden))
+                      .astype(np.float32))
 
     import flax.linen as nn
     from video_spike_tpu.models.vit_mae import Block, sincos_pos_embed_1d
@@ -103,12 +113,12 @@ def main():
         def __call__(self, h, session_ids):  # the VTT minus frame encoder
             pos = sincos_pos_embed_1d(hidden, h.shape[1])
             h = h + jnp.asarray(pos)[None].astype(h.dtype)
-            for _ in range(4):
-                h = Block(hidden, 4, 2 * hidden)(h)
+            for _ in range(depth):
+                h = Block(hidden, heads, mlp)(h)
             h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
             resample = self.param(
                 "time_resample",
-                lambda key: jnp.asarray(time_resample_init(T, 100)))
+                lambda key: jnp.asarray(time_resample_init(T // stride, 100)))
             h = jnp.einsum("btd,tz->bzd", h, resample,
                            preferred_element_type=jnp.float32)
             W = self.param("session_heads", nn.initializers.normal(0.02),
@@ -130,25 +140,30 @@ def main():
     results["temporal_stack_ms"] = chained(t_step, tparams, (emb, ap, sids),
                                            iters) * 1e3
 
-    # 4. forward only
-    def fwd(p, video, sids):
-        out = model.apply(p, video, sids)
-        return jax.tree.map(lambda a: a, p), out  # thread params
-
+    # 4. forward only. The params fed to iteration N+1 must DEPEND on
+    # iteration N's output, else the scan body is loop-invariant and XLA
+    # hoists the single forward out of the loop (measured: 20 "iterations"
+    # in ~1 forward's time). out*0 is not constant-foldable for floats
+    # (NaN/Inf), so the chain survives while the numbers don't change.
     def fwd_step(carry, video, sids):
         p, _ = carry
-        return fwd(p, video, sids)
+        out = model.apply(p, video, sids)
+        z = jnp.mean(out) * 0.0
+        p = jax.tree.map(lambda a: a + z.astype(a.dtype), p)
+        return p, out
 
     results["forward_ms"] = chained(
         fwd_step, (params, jnp.zeros((B, 100, N))), (video, sids),
         iters) * 1e3
 
     # model FLOPs/step (fwd+bwd ~= 3x fwd) for an MFU estimate
-    s_tok, d, mlp = (HW // 16) ** 2, hidden, 2 * hidden
+    t_enc = T // stride   # frames the encoder/temporal stack actually see
+    s_tok, d = (HW // 16) ** 2, hidden
     per_layer = (8 * s_tok * d * d + 4 * s_tok * s_tok * d
                  + 4 * s_tok * d * mlp)
-    fe_flops = B * T * (4 * per_layer + 2 * s_tok * d * 16 * 16)
-    tl_flops = B * (4 * (8 * T * d * d + 4 * T * T * d + 4 * T * d * mlp))
+    fe_flops = B * t_enc * (depth * per_layer + 2 * s_tok * d * 16 * 16)
+    tl_flops = B * depth * (8 * t_enc * d * d + 4 * t_enc * t_enc * d
+                            + 4 * t_enc * d * mlp)
     head_flops = B * 2 * 100 * d * N
     results["model_tflops_per_step"] = 3 * (fe_flops + tl_flops
                                             + head_flops) / 1e12
