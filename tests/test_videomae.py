@@ -209,3 +209,111 @@ def test_probe_frozen_backbone(rng):
     head_g = jax.tree.leaves(g["params"]["encoder_head"])
     assert all(float(jnp.abs(x).max()) == 0 for x in backbone_g)
     assert any(float(jnp.abs(x).max()) > 0 for x in head_g)
+
+
+def test_frozen_backbone_excluded_from_optimizer(rng):
+    """stop_gradient alone does not freeze under AdamW: decoupled weight
+    decay shrinks zero-grad params. The trainer must exclude the backbone
+    from the optimizer entirely (the reference's requires_grad=False
+    contract, /root/reference/src/model/videomae.py:8-12)."""
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.train.base import make_optimizer
+
+    model = VideoMAEProbe(config=TINY)
+    assert model.frozen_param_paths() == ("video_mae",)
+
+    video = jnp.asarray(rng.integers(0, 255, (2, 120, 1, 32, 32))
+                        .astype(np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (2, 100, 4)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+
+    cfg = DictConfig({"optimizer": {"lr": 1e-2, "wd": 0.5}})
+    tx, _ = make_optimizer(cfg, 100,
+                           frozen_paths=model.frozen_param_paths())
+    opt_state = tx.init(params)
+
+    # no Adam moments are allocated for the frozen backbone
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    n_state = sum(x.size for x in jax.tree.leaves(opt_state)
+                  if hasattr(x, "size"))
+    n_backbone = sum(x.size for x in
+                     jax.tree.leaves(params["params"]["video_mae"]))
+    assert n_state < 2 * (n_params - n_backbone) + 1000
+
+    import optax
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+
+    def loss_fn(p):
+        return poisson_nll_mean(model.apply(p, video), ap)
+
+    for _ in range(2):
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    before = model.init(jax.random.PRNGKey(0), video)
+    for a, b in zip(jax.tree.leaves(before["params"]["video_mae"]),
+                    jax.tree.leaves(params["params"]["video_mae"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the heads did train
+    assert any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(before["params"]["encoder_head"]),
+                        jax.tree.leaves(params["params"]["encoder_head"])))
+
+
+def test_probe_trainer_caches_frozen_features(tmp_path):
+    """BaseTrainer + frozen probe: trials are encoded once, steady-state
+    steps and staged evals run only the head, and the frozen backbone is
+    bit-stable across epochs."""
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+    from video_spike_tpu.train.base import BaseTrainer
+
+    data_dir = tmp_path / "data"
+    make_synthetic_session(data_dir, eid="probecache", n_trials=16,
+                           n_neurons=4, seed=3, height=32, width=32)
+    config = config_from_kwargs(
+        {"model": "include:configs/model/videomae/videomae.yaml"})
+    config = update_config("configs/train/vmae_video.yaml", config)
+    config["dirs"]["data_dir"] = str(data_dir)
+    config["training"]["num_epochs"] = 3
+    config["training"]["train_batch_size"] = 8
+    config["optimizer"]["lr"] = 1e-3
+    for k, v in TINY.items():   # shrink the backbone for CPU
+        config["model"][k] = v
+    split = split_dataset(str(data_dir), "probecache", seed=0)
+    train_dl, val_dl, test_dl = make_loader(config, split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = VideoMAEProbe.from_config(config.model)
+    t = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                    eid="probecache", dataset_split_dict=split,
+                    log_dir=str(tmp_path / "log"))
+    assert t._frozen_split
+    first = t.train_epoch()
+    # staged data is (trials, L, D) features, not (trials, T, C, H, W) video
+    assert t._dev_data[0].ndim == 3
+    backbone_after_1 = jax.tree.map(np.asarray,
+                                    t.params["params"]["video_mae"])
+    heads_after_1 = jax.tree.map(np.asarray,
+                                 t.params["params"]["encoder_head"])
+    for _ in range(4):
+        last = t.train_epoch()
+    assert np.isfinite(first["train_loss"])
+    assert np.isfinite(last["train_loss"])
+    # the backbone is bit-stable; the head actually trains
+    for a, b in zip(jax.tree.leaves(backbone_after_1),
+                    jax.tree.leaves(t.params["params"]["video_mae"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        float(np.abs(a - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(heads_after_1),
+                        jax.tree.leaves(t.params["params"]["encoder_head"])))
+    # staged eval holds (trials, L, D) features and runs only the head
+    ev = t.eval_epoch()
+    assert np.isfinite(ev["eval_res"]["eval_bps"])
+    (x, ap_d, n_valid, ap, eids) = t._eval_input_cache["eval"][0]
+    assert x.ndim == 3

@@ -199,14 +199,27 @@ class VideoMAEProbe(nn.Module):
     def from_config(cls, config) -> "VideoMAEProbe":
         return cls(config=dict(config))
 
-    @nn.compact
-    def __call__(self, video):
+    def frozen_param_paths(self) -> tuple:
+        """Top-level param subtrees the optimizer must not touch.
+
+        The reference freezes the backbone by excluding its params from the
+        torch optimizer (requires_grad=False before AdamW construction,
+        ``/root/reference/src/model/videomae.py:8-12``), so weight decay
+        never shrinks the frozen weights. stop_gradient alone does NOT
+        reproduce that here: AdamW's decoupled decay updates params with
+        zero grads. The trainer masks these subtrees out of the optimizer
+        (``train/base.py:make_optimizer``), which also skips allocating
+        86M-param Adam moments for the backbone.
+        """
+        return (("video_mae",)
+                if self.config.get("freeze_backbone", True) else ())
+
+    def setup(self):
         cfg = self.config
-        num_frames = cfg.get("num_frames", 16)
-        image_size = cfg.get("image_size", 224)
-        backbone = VideoMAEBackbone(
-            image_size=image_size, patch_size=cfg.get("patch_size", 16),
-            num_channels=3, num_frames=num_frames,
+        self.video_mae = VideoMAEBackbone(
+            image_size=cfg.get("image_size", 224),
+            patch_size=cfg.get("patch_size", 16),
+            num_channels=3, num_frames=cfg.get("num_frames", 16),
             tubelet_size=cfg.get("tubelet_size", 2),
             hidden_size=cfg.get("hidden_size", 768),
             num_hidden_layers=cfg.get("num_hidden_layers", 12),
@@ -216,17 +229,35 @@ class VideoMAEProbe(nn.Module):
             # weights (reference freezes MCG-NJU/videomae-base,
             # /root/reference/src/model/videomae.py:8); set False when
             # grafting a backbone pretrained by this framework
-            hf_compat=cfg.get("hf_compat", True),
-            name="video_mae")
-        x = preprocess_frames(video, num_frames, image_size,
+            hf_compat=cfg.get("hf_compat", True))
+        self.encoder_head = nn.Dense(cfg["encoder"]["output_dim"])
+        self.decoder_head = nn.Dense(cfg["decoder"]["output_dim"])
+
+    def encode(self, video):
+        """Frozen feature path: preprocess + backbone (+ stop_gradient).
+
+        Exposed separately from ``__call__`` so the trainer can compute
+        embeddings ONCE per trial and train the head on cached features —
+        the frozen backbone makes them invariant across epochs (and the
+        optimizer mask above guarantees the params can't drift). bf16
+        output: exactly what the fused path feeds the head."""
+        cfg = self.config
+        x = preprocess_frames(video, cfg.get("num_frames", 16),
+                              cfg.get("image_size", 224),
                               source_frames=video.shape[1])
-        hidden = backbone(x)
+        hidden = self.video_mae(x)
         if cfg.get("freeze_backbone", True):
             hidden = jax.lax.stop_gradient(hidden)
+        return hidden
+
+    def head(self, hidden):
+        """Trainable readout over (B, L, D) backbone features."""
         b = hidden.shape[0]
         flat = hidden.reshape(b, -1).astype(jnp.float32)
-        enc_out = cfg["encoder"]["output_dim"]
-        out_dim = cfg["decoder"]["output_dim"]
-        x = nn.Dense(enc_out, name="encoder_head")(flat)
-        x = nn.Dense(out_dim, name="decoder_head")(x)
+        out_dim = self.config["decoder"]["output_dim"]
+        x = self.encoder_head(flat)
+        x = self.decoder_head(x)
         return x.reshape(b, 100, out_dim // 100)
+
+    def __call__(self, video):
+        return self.head(self.encode(video))

@@ -18,6 +18,15 @@ single jnp path, differentiated by autodiff, is the production attention.
 Precision: matmuls run at input precision with f32 accumulation (full-rate
 MXU for bf16 models, measured -18% step time; exact for the f32
 weight-import/golden paths); softmax is always f32.
+
+Long sequences (VideoMAE probe, S=1568): the materialized f32 score tensor
+is 944 MB per layer, and this op runs at 5.7 ms (~5% MFU, HBM-bound). The
+Pallas TPU flash kernel was A/B'd at that shape and only TIES at its best
+legal block config (5.6 ms, pad-to-2048 block 512; the kernel requires
+128-multiple blocks and 1568 has none) — measurements in
+scripts/profile_attn_flash.py — so this einsum path stays the single
+production attention. The frozen-probe training loop sidesteps the cost
+entirely by caching backbone features per trial (train/base.py).
 """
 
 from __future__ import annotations

@@ -10,6 +10,14 @@ the real chip at the production shapes, and retired when they lost:
   9x faster and XLA-fused — measurements in ``ops/attention.py``.
 - fused InfoNCE (similarity matmul + logsumexp): XLA wins 10-30x at every
   production shape — measurements in ``ops/contrastive.py``.
+- jax's own Pallas TPU flash attention at the VideoMAE-probe shape
+  (B=8, S=1568, H=12, D=64, bf16 fwd): best block config (pad 2048,
+  block 512) ties the einsum layout at 5.6 vs 5.7 ms and the required
+  pad-to-128-multiple configs lose up to 2.2x — measurements in
+  ``scripts/profile_attn_flash.py``. The real lever for the frozen-probe
+  workload was architectural: cache the frozen backbone's features once
+  per trial (``train/base.py:_encode_staged_trials``) instead of
+  recomputing 12 layers of attention every epoch.
 
 This workload's hot ops are small-sequence matmul shapes that XLA already
 schedules optimally (SURVEY.md §5.7: 64-121 tokens, 100 spike bins); the

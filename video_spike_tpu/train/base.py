@@ -47,13 +47,18 @@ from video_spike_tpu.train.checkpoint import (
 )
 
 
-def make_optimizer(config, total_steps: int):
+def make_optimizer(config, total_steps: int, frozen_paths: tuple = ()):
     """AdamW + OneCycle cosine schedule (torch OneCycleLR conventions:
     initial lr = max_lr / div_factor, final = initial / 1e4;
     ``/root/reference/src/train.py:44-57``), with optional gradient
     accumulation (``optimizer.gradient_accumulation_steps`` — present in the
     reference's config schema but inert there; here it wraps the optimizer
-    in optax.MultiSteps)."""
+    in optax.MultiSteps).
+
+    ``frozen_paths``: names of param subtrees excluded from optimization
+    (the torch ``requires_grad=False`` analog — the reference's frozen
+    VideoMAE backbone never sees the optimizer, so decoupled weight decay
+    must not touch it either). Masked leaves keep no Adam moments."""
     opt = config.optimizer
     accum = int(opt.get("gradient_accumulation_steps", 1) or 1)
     # a handful of steps makes the warmup interval round to zero length
@@ -87,6 +92,20 @@ def make_optimizer(config, total_steps: int):
             schedule, weight_decay=opt.get("wd", 0.01),
             eps=opt.get("eps", 1e-8),
             mu_dtype=jnp.bfloat16 if mu_dtype == "bfloat16" else None)
+    if frozen_paths:
+        frozen = frozenset(frozen_paths)
+
+        def labels(params):
+            def label(path, _):
+                return ("freeze" if any(
+                    getattr(k, "key", getattr(k, "name", None)) in frozen
+                    for k in path) else "train")
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        # set_to_zero emits zero updates for frozen leaves (robust even if a
+        # grad leaked past stop_gradient) and keeps no optimizer state
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
@@ -140,7 +159,21 @@ class BaseTrainer:
         total_steps = (len(dataset_split_dict["train"])
                        // config.training.train_batch_size
                        * config.training.num_epochs)
-        self.tx, self.schedule = make_optimizer(config, total_steps)
+        frozen = getattr(model, "frozen_param_paths", None)
+        self._frozen_paths = tuple(frozen()) if callable(frozen) else ()
+        self.tx, self.schedule = make_optimizer(
+            config, total_steps, frozen_paths=self._frozen_paths)
+        # frozen-feature training: a model with frozen subtrees and an
+        # encode/head split (VideoMAEProbe) computes embeddings ONCE per
+        # trial and trains on cached features — the optimizer mask above
+        # guarantees the frozen encoder cannot drift, so features staged at
+        # init stay exact for the whole run. The reference re-runs the
+        # frozen backbone on every batch of every epoch
+        # (/root/reference/src/model/videomae.py:17-31, processor+backbone
+        # inside forward under no_grad).
+        self._frozen_split = bool(
+            self._frozen_paths and callable(getattr(model, "encode", None))
+            and callable(getattr(model, "head", None)))
 
         self.params = None
         self.opt_state = None
@@ -257,6 +290,11 @@ class BaseTrainer:
 
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_fn = jax.jit(lambda p, x: model.apply(p, x))
+        if self._frozen_split:
+            self._encode_fn = jax.jit(
+                lambda p, x: model.apply(p, x, method="encode"))
+            self._head_fn = jax.jit(
+                lambda p, x: model.apply(p, x, method="head"))
 
     # ------------------------------------------------------------------
     # epochs
@@ -325,12 +363,23 @@ class BaseTrainer:
         model, tx, criterion = self.model, self.tx, self.criterion
         apply_updates = self._apply_updates
 
+        apply_fn = model.apply
+        if self._frozen_split:
+            F = self._encode_staged_trials()
+            if F is not None:
+                self._dev_data = (F, self._dev_data[1])
+                self._staged_bytes = F.nbytes + A.nbytes
+                apply_fn = (lambda p, x: model.apply(p, x, method="head"))
+                self.log.info(
+                    f"frozen-encoder features staged ({F.nbytes/1e6:.0f} MB,"
+                    f" {F.dtype}); train steps are now head-only")
+
         def cached_step(params, opt_state, X_all, ap_all, idx, n_valid, seed):
             x = jnp.take(X_all, idx, axis=0)
             ap = jnp.take(ap_all, idx, axis=0)
 
             def loss_fn(p):
-                return criterion(model.apply(p, x), ap, n_valid)
+                return criterion(apply_fn(p, x), ap, n_valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -339,6 +388,34 @@ class BaseTrainer:
 
         self._cached_step = jax.jit(cached_step, donate_argnums=(0, 1))
         return True
+
+    def _encode_staged_trials(self):
+        """Run the frozen encoder once over every staged trial and return
+        the feature array (or None when it would blow the cache budget).
+        One compile (fixed chunk shape, ragged tail padded); all slicing
+        happens on device so nothing rides the host link."""
+        X_all, A_all = self._dev_data
+        rows = X_all.shape[0]
+        bs = self.config.training.train_batch_size
+        bs += (-bs) % self.mesh.shape["data"]
+        bs = min(bs, rows)
+        shape = jax.eval_shape(
+            self._encode_fn, self.params,
+            jax.ShapeDtypeStruct((bs,) + X_all.shape[1:], X_all.dtype))
+        per_row = int(np.prod(shape.shape[1:])) * shape.dtype.itemsize
+        if rows * per_row + A_all.nbytes > self._device_cache_gb * 1e9:
+            self.log.info(
+                f"frozen features ({rows * per_row / 1e9:.1f} GB) exceed the"
+                f" device cache cap; keeping raw-input cached steps")
+            return None
+        take = jax.jit(lambda X, i: jnp.take(X, i, axis=0))
+        chunks = []
+        for s in range(0, rows, bs):
+            idx = np.minimum(np.arange(s, s + bs), rows - 1).astype(np.int32)
+            xc = take(X_all, jax.device_put(idx, self.batch_shd))
+            chunks.append(self._encode_fn(self.params, xc))
+        return jax.device_put(jnp.concatenate(chunks, axis=0)[:rows],
+                              self.batch_shd)
 
     def _train_epoch_cached(self) -> dict:
         X_all, ap_all = self._dev_data
@@ -439,6 +516,10 @@ class BaseTrainer:
         self._init_if_needed(inputs)
         ap = np.asarray(batch["ap"])
         x, ap_d, n_valid = self._pad_and_put(inputs, ap)
+        if self._frozen_split:
+            # stage frozen features, not raw video: staged evals then rerun
+            # only the head (the params the optimizer can actually move)
+            x = self._encode_fn(self.params, x)
         return (x, ap_d, n_valid, ap, list(batch["eid"]))
 
     def _eval_batches(self, loader, phase: str):
@@ -477,8 +558,9 @@ class BaseTrainer:
             return None
         session = {e: {"gt": [], "preds": []} for e in split_eids}
         losses = []
+        eval_fn = self._head_fn if self._frozen_split else self._eval_fn
         for x, ap_d, n_valid, ap, eids in self._eval_batches(loader, phase):
-            out = self._eval_fn(self.params, x)
+            out = eval_fn(self.params, x)
             # device scalar; converted once after the loop (syncs cost ~29 ms
             # RTT each on this runtime)
             losses.append(poisson_nll_mean(out, ap_d, n_valid))
