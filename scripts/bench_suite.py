@@ -228,6 +228,31 @@ def bench_videomae_probe(rng):
     jstep = jax.jit(step, donate_argnums=(0, 1))
     dt = timed_chained(jstep, params, opt, feats, ap, n=20, warmup=3)
 
+    # bf16+SR parameter-store variant of the head step (the 504M Linear
+    # headline's optimizer.param_dtype=bfloat16_sr lever; the frozen bf16
+    # backbone is exact under SR because a zero update on an
+    # exactly-representable value can't carry)
+    from video_spike_tpu.ops.optim import apply_updates_sr
+    tx_sr, _ = make_optimizer(
+        DictConfig({"optimizer": {"lr": 1e-4,
+                                  "param_dtype": "bfloat16_sr"}}),
+        9000, frozen_paths=model.frozen_param_paths())
+    params_sr = jax.tree.map(
+        lambda p: (p.astype(jnp.bfloat16)
+                   if p.dtype == jnp.float32 and p.size >= (1 << 16)
+                   else p), model.init(jax.random.PRNGKey(0), video[:1]))
+    opt_sr = tx_sr.init(params_sr)
+
+    def sr_step(params, opt_state, feats, ap):
+        loss, grads = jax.value_and_grad(
+            lambda p: poisson_nll_mean(head(p, feats), ap))(params)
+        updates, opt_state = tx_sr.update(grads, opt_state, params)
+        return (apply_updates_sr(params, updates, jnp.uint32(7)),
+                opt_state, loss)
+
+    jsr = jax.jit(sr_step, donate_argnums=(0, 1))
+    sr_dt = timed_chained(jsr, params_sr, opt_sr, feats, ap, n=20, warmup=3)
+
     # reference-style full-recompute step (backbone re-run, unmasked AdamW)
     tx_full = optax.adamw(1e-4, weight_decay=0.01)
     params2 = model.init(jax.random.PRNGKey(0), video[:1])
@@ -246,6 +271,7 @@ def bench_videomae_probe(rng):
     return {"workload": "videomae_probe_step", "batch": B,
             "ms_per_step": round(dt * 1e3, 2),
             "frames_per_s": round(B * 120 / dt, 1),
+            "sr_ms_per_step": round(sr_dt * 1e3, 2),
             "encode_once_ms_per_batch": round(enc_dt * 1e3, 2),
             "full_recompute_ms": round(full_dt * 1e3, 2)}
 

@@ -171,3 +171,41 @@ def test_sr_rounds_to_adjacent_bf16_values():
     # SR result equals floor or ceil of the magnitude, elementwise
     ok = (r == floor) | (r == ceil)
     assert ok.all(), (x[~ok][:5], r[~ok][:5])
+
+
+def test_sr_optimizer_composes_with_frozen_mask():
+    """param_dtype=bfloat16_sr + make_optimizer(frozen_paths=...): the
+    multi_transform's MaskedNode placeholders must pass through the lowmem
+    Adam transform (a bare isinstance-tuple is_leaf used to IndexError on
+    them), frozen bf16 leaves must stay bit-stable under stochastic
+    rounding (zero update on an exactly-representable value cannot carry),
+    and trainable leaves must move."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.ops.optim import apply_updates_sr
+    from video_spike_tpu.train.base import make_optimizer
+
+    tx, _ = make_optimizer(
+        DictConfig({"optimizer": {"lr": 1e-2,
+                                  "param_dtype": "bfloat16_sr"}}),
+        100, frozen_paths=("frozen",))
+    rng = np.random.default_rng(0)
+    params = {"params": {
+        "frozen": {"kernel": jnp.asarray(
+            rng.normal(size=(64, 64)), jnp.bfloat16)},
+        "train": {"kernel": jnp.asarray(
+            rng.normal(size=(64, 64)), jnp.bfloat16)}}}
+    opt_state = tx.init(params)
+    before = jax.tree.map(np.asarray, params)
+    for i in range(3):
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = apply_updates_sr(params, updates, jnp.uint32(i))
+    np.testing.assert_array_equal(
+        before["params"]["frozen"]["kernel"],
+        np.asarray(params["params"]["frozen"]["kernel"]))
+    assert float(np.abs(
+        before["params"]["train"]["kernel"]
+        - np.asarray(params["params"]["train"]["kernel"])).max()) > 0

@@ -101,3 +101,56 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert int(restored["epoch"]) == 2
     np.testing.assert_array_equal(restored["params"]["w"],
                                   np.arange(8, dtype=np.float32) * 2)
+
+
+def test_probe_resume_reencodes_frozen_features(session_dir, tmp_path):
+    """Frozen-probe resume: the restored backbone must reproduce the same
+    cached features the first run trained on (the optimizer mask makes the
+    backbone immutable, so staging after resume is exact)."""
+    import jax
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    tiny = dict(image_size=32, patch_size=8, num_channels=3, num_frames=8,
+                tubelet_size=2, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64)
+
+    def make(num_epochs):
+        config = config_from_kwargs(
+            {"model": "include:configs/model/videomae/videomae.yaml"})
+        config = update_config("configs/train/vmae_video.yaml", config)
+        config["dirs"]["data_dir"] = str(session_dir)
+        config["training"]["num_epochs"] = num_epochs
+        config["training"]["train_batch_size"] = 8
+        for k, v in tiny.items():
+            config["model"][k] = v
+        split = split_dataset(str(session_dir), "resum0000", seed=0)
+        train_dl, val_dl, test_dl = make_loader(config, split)
+        meta = get_metadata_from_loader(train_dl, config)
+        config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+        model = NAME2MODEL["VideoMAE"].from_config(config.model)
+        return BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                           eid="resum0000", dataset_split_dict=split,
+                           log_dir=str(tmp_path / "probe"))
+
+    t1 = make(num_epochs=2)
+    t1.train_epoch()
+    feats1 = np.asarray(t1._dev_data[0])
+    t1.save_model("last", epoch=0)
+
+    t2 = make(num_epochs=2)
+    assert t2.resume()
+    t2.train_epoch()
+    feats2 = np.asarray(t2._dev_data[0])
+    # loader shuffle permutes trial order (and the mesh-pad rows duplicate
+    # whichever trial lands last), so compare as sets: the same frozen
+    # backbone over the same trials must give bit-identical features
+    rows1 = {r.tobytes() for r in feats1}
+    rows2 = {r.tobytes() for r in feats2}
+    assert rows1 == rows2
+    # restored backbone params are bit-identical to the saved ones
+    for a, b in zip(jax.tree.leaves(t1.params["params"]["video_mae"]),
+                    jax.tree.leaves(t2.params["params"]["video_mae"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

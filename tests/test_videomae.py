@@ -317,3 +317,33 @@ def test_probe_trainer_caches_frozen_features(tmp_path):
     assert np.isfinite(ev["eval_res"]["eval_bps"])
     (x, ap_d, n_valid, ap, eids) = t._eval_input_cache["eval"][0]
     assert x.ndim == 3
+
+
+def test_probe_unfrozen_finetunes_backbone(rng):
+    """freeze_backbone=False must disable both the optimizer mask and the
+    feature cache: gradients flow and the backbone actually moves."""
+    import optax
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+    from video_spike_tpu.train.base import make_optimizer
+
+    cfg = dict(TINY, freeze_backbone=False)
+    model = VideoMAEProbe(config=cfg)
+    assert model.frozen_param_paths() == ()
+    video = jnp.asarray(rng.integers(0, 255, (2, 120, 1, 32, 32))
+                        .astype(np.uint8))
+    ap = jnp.asarray(rng.poisson(1.0, (2, 100, 4)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+    before = jax.tree.map(np.asarray, params["params"]["video_mae"])
+    tx, _ = make_optimizer(DictConfig({"optimizer": {"lr": 1e-2}}), 100,
+                           frozen_paths=model.frozen_param_paths())
+    opt_state = tx.init(params)
+    for _ in range(2):
+        grads = jax.grad(
+            lambda p: poisson_nll_mean(model.apply(p, video), ap))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    assert any(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(before),
+                        jax.tree.leaves(params["params"]["video_mae"])))

@@ -48,12 +48,14 @@ def scale_by_adam_lowmem(b1: float = 0.9, b2: float = 0.999,
                     v32.astype(jnp.bfloat16))
 
         out = jax.tree.map(upd, updates, state.mu, state.nu)
-        steps = jax.tree.map(lambda t: t[0], out,
-                             is_leaf=lambda t: isinstance(t, tuple))
-        mu = jax.tree.map(lambda t: t[1], out,
-                          is_leaf=lambda t: isinstance(t, tuple))
-        nu = jax.tree.map(lambda t: t[2], out,
-                          is_leaf=lambda t: isinstance(t, tuple))
+        # a plain isinstance(tuple) is_leaf would also catch the EMPTY
+        # MaskedNode namedtuples optax.masked/multi_transform inject for
+        # frozen leaves (make_optimizer frozen_paths) -> t[0] IndexError;
+        # those must be traversed as (childless) containers instead
+        three = lambda t: isinstance(t, tuple) and len(t) == 3
+        steps = jax.tree.map(lambda t: t[0], out, is_leaf=three)
+        mu = jax.tree.map(lambda t: t[1], out, is_leaf=three)
+        nu = jax.tree.map(lambda t: t[2], out, is_leaf=three)
         return steps, ScaleByAdamLowmemState(count, mu, nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
