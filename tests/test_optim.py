@@ -209,3 +209,44 @@ def test_sr_optimizer_composes_with_frozen_mask():
     assert float(np.abs(
         before["params"]["train"]["kernel"]
         - np.asarray(params["params"]["train"]["kernel"])).max()) > 0
+
+
+def test_adafactor_optimizer_option():
+    """optimizer.name: adafactor (opt-in; AdamW stays the parity default):
+    converges on a least-squares probe under the bf16+SR store and keeps
+    only factored second-moment stats (state is O(n+m), not O(n*m))."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from video_spike_tpu.core.config import DictConfig
+    from video_spike_tpu.ops.optim import apply_updates_sr
+    from video_spike_tpu.train.base import make_optimizer
+
+    rng = np.random.default_rng(0)
+    W_true = rng.normal(size=(256, 256)).astype(np.float32)
+    X = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+    Y = X @ jnp.asarray(W_true)
+    tx, _ = make_optimizer(DictConfig({"optimizer": {
+        "lr": 1e-1, "name": "adafactor",
+        "param_dtype": "bfloat16_sr", "warmup_pct": 0.1}}), 600)
+    params = {"w": jnp.zeros((256, 256), jnp.bfloat16)}
+    opt_state = tx.init(params)
+    # factored stats: total optimizer state is far below the 2*n*m full
+    # Adam moments (256*256 params -> full moments would be 131072)
+    n_state = sum(x.size for x in jax.tree.leaves(opt_state)
+                  if hasattr(x, "size"))
+    assert n_state < 4096
+
+    def loss_fn(p):
+        return jnp.mean((X @ p["w"].astype(jnp.float32) - Y) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, i):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt_state = tx.update(g, opt_state, params)
+        return apply_updates_sr(params, u, i), opt_state, loss
+
+    loss0 = float(loss_fn(params))
+    for i in range(600):
+        params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
+    assert float(loss) < loss0 * 1e-2, (loss0, float(loss))

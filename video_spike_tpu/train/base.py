@@ -78,7 +78,20 @@ def make_optimizer(config, total_steps: int, frozen_paths: tuple = ()):
     #       the 504M readout, convergence-tested in tests/test_optim.py)
     #   optimizer.lowmem_state: true  -> both Adam moments in bf16
     #   optimizer.mu_dtype: bfloat16  -> first moment only (optax built-in)
-    if opt.get("param_dtype") == "bfloat16_sr":
+    if opt.get("name", "adamw") == "adafactor":
+        # factored second moment (optax.adafactor): the full Adam moments of
+        # a 504M-param readout are ~4 GB of HBM traffic per step; the
+        # factored stats are ~2M elements. Opt-in via optimizer.name —
+        # AdamW stays the reference-parity default
+        # (/root/reference/src/train.py:44). Composes with
+        # param_dtype: bfloat16_sr (the trainer's SR apply handles the
+        # bf16 store; adafactor's stats stay f32 either way).
+        tx = optax.adafactor(
+            schedule,
+            momentum=opt.get("momentum"),
+            weight_decay_rate=opt.get("adafactor_wd"),
+            multiply_by_parameter_scale=opt.get("param_scale", True))
+    elif opt.get("param_dtype") == "bfloat16_sr":
         from video_spike_tpu.ops.optim import adamw_sr_bf16
         tx = adamw_sr_bf16(schedule, weight_decay=opt.get("wd", 0.01),
                            eps=opt.get("eps", 1e-8))
