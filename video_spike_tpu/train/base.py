@@ -86,11 +86,16 @@ def make_optimizer(config, total_steps: int, frozen_paths: tuple = ()):
         # (/root/reference/src/train.py:44). Composes with
         # param_dtype: bfloat16_sr (the trainer's SR apply handles the
         # bf16 store; adafactor's stats stay f32 either way).
+        # parameter-scale and update-clipping each cost a full f32 pass
+        # over the big tensor (measured +4.2 ms on the 504M headline,
+        # scripts/profile_adafactor.py); the "lean" production setting
+        # turns both off (param_scale: false, clipping: null)
         tx = optax.adafactor(
             schedule,
             momentum=opt.get("momentum"),
             weight_decay_rate=opt.get("adafactor_wd"),
-            multiply_by_parameter_scale=opt.get("param_scale", True))
+            multiply_by_parameter_scale=opt.get("param_scale", True),
+            clipping_threshold=opt.get("clipping", 1.0))
     elif opt.get("param_dtype") == "bfloat16_sr":
         from video_spike_tpu.ops.optim import adamw_sr_bf16
         tx = adamw_sr_bf16(schedule, weight_decay=opt.get("wd", 0.01),
