@@ -72,6 +72,11 @@ def main():
         ("adafactor_lean_sr", lambda: optax.adafactor(
             optax.cosine_onecycle_schedule(10_000, 5e-5),
             multiply_by_parameter_scale=False, clipping_threshold=None)),
+        # this framework's factored transform: additionally emits bf16
+        # updates (optax's are f32 -> 2 extra GB of update write+read)
+        ("factored_ours_sr", lambda: __import__(
+            "video_spike_tpu.ops.optim", fromlist=["adafactor_lean"]
+        ).adafactor_lean(optax.cosine_onecycle_schedule(10_000, 5e-5))),
     ):
         params = bf16_store(model.init(jax.random.PRNGKey(0),
                                        jnp.zeros((1, T * H * W),

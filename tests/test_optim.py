@@ -250,3 +250,51 @@ def test_adafactor_optimizer_option():
     for i in range(600):
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
     assert float(loss) < loss0 * 1e-2, (loss0, float(loss))
+
+
+def test_adafactor_lean_convergence_matches_optax():
+    """ops/optim.adafactor_lean (factored RMS, no side passes, grad-dtype
+    updates) converges like optax.adafactor on a least-squares probe and
+    keeps O(n+m) state for factored leaves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from video_spike_tpu.ops.optim import adafactor_lean, apply_updates_sr
+
+    rng = np.random.default_rng(1)
+    W_true = rng.normal(size=(256, 256)).astype(np.float32)
+    X = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+    Y = X @ jnp.asarray(W_true)
+
+    def run(tx):
+        params = {"w": jnp.zeros((256, 256), jnp.bfloat16)}
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            return jnp.mean((X @ p["w"].astype(jnp.float32) - Y) ** 2)
+
+        @jax.jit
+        def step(params, opt_state, i):
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            g = jax.tree.map(lambda a: a.astype(jnp.bfloat16), g)
+            u, opt_state = tx.update(g, opt_state, params)
+            return apply_updates_sr(params, u, i), opt_state, loss
+
+        for i in range(600):
+            params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
+        return float(loss)
+
+    lean = adafactor_lean(1e-1)
+    n_state = sum(x.size for x in jax.tree.leaves(lean.init(
+        {"w": jnp.zeros((256, 256), jnp.bfloat16)}))
+        if hasattr(x, "size"))
+    assert n_state < 4096   # factored: 512 + count, not 65536
+
+    loss_lean = run(lean)
+    loss_optax = run(optax.adafactor(
+        1e-1, multiply_by_parameter_scale=False, clipping_threshold=None))
+    # both plateau at the SR-store noise floor (~lr-proportional); the
+    # lean transform must land in the same class as optax's
+    assert loss_lean < 257.0 * 0.02, loss_lean   # init mse is ~257
+    assert loss_lean < loss_optax * 2 + 1e-3, (loss_lean, loss_optax)

@@ -154,3 +154,76 @@ def apply_updates_sr(params: optax.Params, updates: optax.Updates,
 
     return jax.tree.map(upd, params, updates,
                         is_leaf=lambda x: x is None)
+
+
+class FactoredRMSState(NamedTuple):
+    count: jax.Array
+    row: optax.Updates   # per-leaf row second-moment factor (or full v)
+    col: optax.Updates   # per-leaf col factor (None-placeholder if full)
+
+
+def adafactor_lean(learning_rate, decay_rate: float = 0.8,
+                   eps: float = 1e-30, min_factor_dim: int = 128
+                   ) -> optax.GradientTransformation:
+    """Factored-RMS optimizer tuned for HBM-bound giant readouts.
+
+    Same factored second moment as Adafactor (T5-style time-dependent
+    decay 1 - t^-decay_rate, row/col mean-square factors for 2-D leaves
+    with both dims >= min_factor_dim; full RMS otherwise), with every
+    full-tensor side pass stripped: no parameter-scale pass, no update
+    clipping pass, no first moment, and the update is emitted in the
+    GRADIENT dtype (bf16 in the production step, halving the update
+    write+read vs optax.adafactor's f32) — pair with
+    :func:`apply_updates_sr`, which does the parameter add in f32 and
+    stochastically rounds into the bf16 store. Measured on the 504M
+    headline step in scripts/profile_adafactor.py.
+    """
+    sched = (learning_rate if callable(learning_rate)
+             else (lambda _: learning_rate))
+
+    def factored(p) -> bool:
+        return p.ndim == 2 and min(p.shape) >= min_factor_dim
+
+    def init_fn(params):
+        def row0(p):
+            return (jnp.zeros((p.shape[0],), jnp.float32) if factored(p)
+                    else jnp.zeros_like(p, jnp.bfloat16))
+
+        def col0(p):
+            return (jnp.zeros((p.shape[1],), jnp.float32) if factored(p)
+                    else jnp.zeros((), jnp.float32))  # unused placeholder
+
+        return FactoredRMSState(jnp.zeros([], jnp.int32),
+                                jax.tree.map(row0, params),
+                                jax.tree.map(col0, params))
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        beta = 1.0 - t ** (-decay_rate)   # T5 time-dependent decay
+        lr = sched(state.count)
+
+        def upd(g, r, c):
+            g32 = g.astype(jnp.float32)
+            g2 = g32 * g32 + eps
+            if r.ndim == 1 and g.ndim == 2:   # factored 2-D leaf
+                r = beta * r + (1 - beta) * jnp.mean(g2, axis=1)
+                c = beta * c + (1 - beta) * jnp.mean(g2, axis=0)
+                # v_ij ~= r_i c_j / mean(r); rsqrt factors separately so the
+                # full v matrix is never materialized in f32
+                denom = (jax.lax.rsqrt(r / jnp.mean(r))[:, None]
+                         * jax.lax.rsqrt(c)[None, :])
+                step = -lr * g32 * denom
+                return step.astype(g.dtype), r, c
+            v32 = beta * r.astype(jnp.float32) + (1 - beta) * g2
+            step = -lr * g32 * jax.lax.rsqrt(v32)
+            return step.astype(g.dtype), v32.astype(jnp.bfloat16), c
+
+        out = jax.tree.map(upd, updates, state.row, state.col)
+        three = lambda t_: isinstance(t_, tuple) and len(t_) == 3
+        steps = jax.tree.map(lambda t_: t_[0], out, is_leaf=three)
+        row = jax.tree.map(lambda t_: t_[1], out, is_leaf=three)
+        col = jax.tree.map(lambda t_: t_[2], out, is_leaf=three)
+        return steps, FactoredRMSState(count, row, col)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -78,7 +78,13 @@ def make_optimizer(config, total_steps: int, frozen_paths: tuple = ()):
     #       the 504M readout, convergence-tested in tests/test_optim.py)
     #   optimizer.lowmem_state: true  -> both Adam moments in bf16
     #   optimizer.mu_dtype: bfloat16  -> first moment only (optax built-in)
-    if opt.get("name", "adamw") == "adafactor":
+    if opt.get("name", "adamw") == "adafactor_lean":
+        # this framework's own factored-RMS transform (ops/optim): no
+        # side passes at all and bf16 update emission — the fastest
+        # HBM-bound update scheme measured (scripts/profile_adafactor.py)
+        from video_spike_tpu.ops.optim import adafactor_lean
+        tx = adafactor_lean(schedule)
+    elif opt.get("name", "adamw") == "adafactor":
         # factored second moment (optax.adafactor): the full Adam moments of
         # a 504M-param readout are ~4 GB of HBM traffic per step; the
         # factored stats are ~2M elements. Opt-in via optimizer.name —
