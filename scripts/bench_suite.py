@@ -253,6 +253,30 @@ def bench_videomae_probe(rng):
     jsr = jax.jit(sr_step, donate_argnums=(0, 1))
     sr_dt = timed_chained(jsr, params_sr, opt_sr, feats, ap, n=20, warmup=3)
 
+    # + the round-3 lean factored optimizer (quality-gated on the Linear
+    # headline, BASELINE.md "optimizer gate"): the 308M-param head update
+    # is the same HBM-bound class
+    tx_af, _ = make_optimizer(
+        DictConfig({"optimizer": {"lr": 1e-4, "name": "adafactor",
+                                  "param_scale": False, "clipping": None,
+                                  "param_dtype": "bfloat16_sr"}}),
+        9000, frozen_paths=model.frozen_param_paths())
+    params_af = jax.tree.map(
+        lambda p: (p.astype(jnp.bfloat16)
+                   if p.dtype == jnp.float32 and p.size >= (1 << 16)
+                   else p), model.init(jax.random.PRNGKey(0), video[:1]))
+    opt_af = tx_af.init(params_af)
+
+    def af_step(params, opt_state, feats, ap):
+        loss, grads = jax.value_and_grad(
+            lambda p: poisson_nll_mean(head(p, feats), ap))(params)
+        updates, opt_state = tx_af.update(grads, opt_state, params)
+        return (apply_updates_sr(params, updates, jnp.uint32(7)),
+                opt_state, loss)
+
+    jaf = jax.jit(af_step, donate_argnums=(0, 1))
+    af_dt = timed_chained(jaf, params_af, opt_af, feats, ap, n=20, warmup=3)
+
     # reference-style full-recompute step (backbone re-run, unmasked AdamW)
     tx_full = optax.adamw(1e-4, weight_decay=0.01)
     params2 = model.init(jax.random.PRNGKey(0), video[:1])
@@ -272,6 +296,7 @@ def bench_videomae_probe(rng):
             "ms_per_step": round(dt * 1e3, 2),
             "frames_per_s": round(B * 120 / dt, 1),
             "sr_ms_per_step": round(sr_dt * 1e3, 2),
+            "adafactor_sr_ms_per_step": round(af_dt * 1e3, 2),
             "encode_once_ms_per_batch": round(enc_dt * 1e3, 2),
             "full_recompute_ms": round(full_dt * 1e3, 2)}
 
