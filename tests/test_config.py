@@ -74,3 +74,25 @@ def test_vit_mae_turbo_config_is_capacity_identical():
                            turbo["decoder_num_attention_heads"])):
         assert hidden % heads == 0
         assert (hidden // heads) % 128 == 0, (hidden, heads)
+
+
+def test_cli_seed_flag_reaches_config(tmp_path):
+    """--seed must override the yaml seed (the reference merges argparse
+    values last, src/train.py:28-30); two different seeds must produce
+    different trial splits."""
+    from video_spike_tpu.data.dataset import split_dataset
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+
+    d = tmp_path / "data"
+    make_synthetic_session(d, eid="seedcheck0", n_trials=20, n_neurons=4,
+                           seed=0, height=16, width=16)
+    s1 = split_dataset(str(d), "seedcheck0", seed=7)
+    s2 = split_dataset(str(d), "seedcheck0", seed=8)
+    assert s1["train"] != s2["train"]
+
+    # the CLI plumbs --seed into config (all 7 entry points share the
+    # pattern; spot-check train.py by reading the merged config path)
+    import inspect
+    from video_spike_tpu.cli import train as train_cli
+    src = inspect.getsource(train_cli.main)
+    assert 'config["seed"] = args.seed' in src

@@ -39,6 +39,9 @@ def main(argv=None, h5_path: str | None = None):
     args, extra = _parse(argv)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
     config = update_config(args.train_config, config)
+    # argparse values merge LAST, as in the reference (src/train.py:28-30),
+    # so --seed actually takes effect over the yaml
+    config["seed"] = args.seed
     set_seed(config.seed)
 
     h5_path = h5_path or extra.h5_path

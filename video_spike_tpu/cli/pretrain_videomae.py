@@ -47,6 +47,9 @@ def main(argv=None):
     args, extra = _parse(argv)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
     config = update_config(args.train_config, config)
+    # argparse values merge LAST, as in the reference (src/train.py:28-30),
+    # so --seed actually takes effect over the yaml
+    config["seed"] = args.seed
     if args.data_dir:
         config["dirs"]["data_dir"] = args.data_dir
     set_seed(config.seed)

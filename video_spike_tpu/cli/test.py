@@ -38,6 +38,9 @@ def main(argv=None):
     args = get_args(rest)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
     config = update_config(args.train_config, config)
+    # argparse values merge LAST, as in the reference (src/train.py:28-30),
+    # so --seed actually takes effect over the yaml
+    config["seed"] = args.seed
     set_seed(config.seed)
 
     eid_file = Path("data/eid.txt")

@@ -35,6 +35,9 @@ def main(argv=None):
     kwargs = {"model": f"include:{args.model_config}"}
     config = config_from_kwargs(kwargs)
     config = update_config(args.train_config, config)
+    # argparse values merge LAST, as in the reference (src/train.py:28-30),
+    # so --seed actually takes effect over the yaml
+    config["seed"] = args.seed
     if args.data_dir:
         config["dirs"]["data_dir"] = args.data_dir
     if args.num_epochs is not None:
