@@ -8,6 +8,11 @@ moments in bfloat16 (optax only supports a bf16 first moment via
 varying running average of squared gradients, so bf16's ~3 decimal digits
 cost noise well below the gradient noise floor; the bias-correction and
 rsqrt still happen in f32.
+
+`adafactor_lean` goes further for the biggest readouts: a factored second
+moment (row/col statistics, Adafactor-style) with no full-tensor side
+passes — measurements and the 200-epoch quality gate that shipped the
+equivalent optax configuration are in BASELINE.md "optimizer gate".
 """
 
 from __future__ import annotations
