@@ -63,6 +63,11 @@ class Tracker:
         artifact trail. The caller owns saving/closing the figure when it
         passes ``path`` pre-saved; otherwise the figure is saved here."""
         if path is None:
+            if self._path == os.devnull:
+                # non-main multihost rank: the JSONL is diverted to devnull
+                # and dirname(devnull) would yield an unwritable /dev path —
+                # figures are rank-0 artifacts, skip entirely
+                return
             path = os.path.join(os.path.dirname(self._path), f"{name}.png")
             fig.savefig(path)
         record = {"t": round(time.time() - self._t0, 3),

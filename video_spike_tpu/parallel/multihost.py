@@ -36,6 +36,19 @@ def shard_files_for_process(files: Sequence[str]) -> list:
     return list(files)[jax.process_index()::jax.process_count()]
 
 
+def global_any(flag: bool) -> bool:
+    """Global OR across processes. Preemption signals land on different
+    ranks at different instants; acting on a LOCAL flag near a global
+    barrier (orbax save, collective train step) deadlocks the ranks that
+    didn't see it yet — every rank must agree before anyone diverges.
+    Call it at the same program point on every rank (it is a collective)."""
+    if not is_multihost():
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(np.max(multihost_utils.process_allgather(
+        jnp.int32(bool(flag)))))
+
+
 def global_min(value: int) -> int:
     """Smallest value across processes — the common step count every host
     must agree on before entering a collective loop (local shards can

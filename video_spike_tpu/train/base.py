@@ -180,8 +180,14 @@ class BaseTrainer:
         os.makedirs(self.log_dir, exist_ok=True)
 
         self.keys = KeySequence(seed if seed is not None else config.get("seed", 42))
+        # schedule horizon = global optimizer steps. In multihost, every
+        # process takes ONE global step per local batch (the split dict is
+        # the full dataset but each host iterates only its shard), so the
+        # per-epoch step count divides by process_count — without this the
+        # OneCycle schedule never finishes (training would end mid-cosine).
         total_steps = (len(dataset_split_dict["train"])
-                       // config.training.train_batch_size
+                       // (config.training.train_batch_size
+                           * jax.process_count())
                        * config.training.num_epochs)
         frozen = getattr(model, "frozen_param_paths", None)
         self._frozen_paths = tuple(frozen()) if callable(frozen) else ()
@@ -427,10 +433,16 @@ class BaseTrainer:
             self._encode_fn, self.params,
             jax.ShapeDtypeStruct((bs,) + X_all.shape[1:], X_all.dtype))
         per_row = int(np.prod(shape.shape[1:])) * shape.dtype.itemsize
-        if rows * per_row + A_all.nbytes > self._device_cache_gb * 1e9:
+        feat_bytes = rows * per_row
+        # budget the PEAK, not the end state: while staging, the raw video,
+        # the per-chunk feature arrays, and the concatenated copy coexist
+        # (~raw + 2x features) before the raw cache is dropped
+        peak = X_all.nbytes + 2 * feat_bytes + A_all.nbytes
+        if peak > self._device_cache_gb * 1e9:
             self.log.info(
-                f"frozen features ({rows * per_row / 1e9:.1f} GB) exceed the"
-                f" device cache cap; keeping raw-input cached steps")
+                f"frozen features ({feat_bytes / 1e9:.1f} GB, staging peak "
+                f"{peak / 1e9:.1f} GB) exceed the device cache cap; "
+                f"keeping raw-input cached steps")
             return None
         take = jax.jit(lambda X, i: jnp.take(X, i, axis=0))
         chunks = []
@@ -438,8 +450,9 @@ class BaseTrainer:
             idx = np.minimum(np.arange(s, s + bs), rows - 1).astype(np.int32)
             xc = take(X_all, jax.device_put(idx, self.batch_shd))
             chunks.append(self._encode_fn(self.params, xc))
-        return jax.device_put(jnp.concatenate(chunks, axis=0)[:rows],
-                              self.batch_shd)
+        F = jnp.concatenate(chunks, axis=0)[:rows]
+        del chunks   # free the chunk buffers before the re-shard copy
+        return jax.device_put(F, self.batch_shd)
 
     def _train_epoch_cached(self) -> dict:
         X_all, ap_all = self._dev_data
@@ -473,15 +486,20 @@ class BaseTrainer:
         count, and every step assembles the global batch from the local
         rows — XLA's gradient all-reduce spans hosts via DCN."""
         bs = self.config.training.train_batch_size
-        local = []
-        for batch in self.train_loader:
-            inputs = self._assemble_inputs(batch)
-            if inputs.shape[0] < bs:
-                continue
-            local.append((inputs, np.asarray(batch["ap"], np.float32)))
-        steps = mh.global_min(len(local))
+        # common step count WITHOUT materializing the epoch: the loader
+        # batches its shuffled file list sequentially, so the number of
+        # full batches is exactly num_trials // bs (buffering every raw
+        # uint8 video batch in a list held 1-2 GB of host RAM per epoch
+        # and starved the tunnel client — see CLAUDE.md timing notes)
+        steps = mh.global_min(self.train_loader.num_trials // bs)
         losses = []
-        for inputs, ap in local[:steps]:
+        for batch in background(iter(self.train_loader), depth=2):
+            if len(losses) >= steps:
+                break
+            inputs = self._assemble_inputs(batch)
+            if inputs.shape[0] < bs:   # ragged tail (drop_last semantics)
+                continue
+            ap = np.asarray(batch["ap"], np.float32)
             self._init_if_needed(inputs)
             x, ap_d = mh.local_rows_to_global(self.batch_shd, inputs, ap)
             n_valid = jnp.float32(bs * jax.process_count())
@@ -658,10 +676,15 @@ class BaseTrainer:
                             # background fetch+write: training continues
                             self.save_model("best", epoch, block=False)
                             self._last_best_flush = epoch
-                        self._plot_figs(eval_res, epoch=epoch)
+                        if self._is_main:   # one writer per shared log_dir
+                            self._plot_figs(eval_res, epoch=epoch)
                 self.log.info(f"{line}")
                 self.tracker.log(line, step=self._global_step)
-                if preempted:
+                # multihost: the TERM may have reached only some ranks this
+                # epoch; agree globally BEFORE anyone diverges into the
+                # save barrier (a lone rank inside orbax's global sync while
+                # the others run another epoch of collectives = deadlock)
+                if mh.global_any(bool(preempted)):
                     # cluster TERM (or Ctrl-C): persist the true-resume
                     # checkpoint and stop cleanly; --resume picks up here
                     wait_for_checkpoints()

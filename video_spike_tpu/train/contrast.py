@@ -100,8 +100,13 @@ class ContrastTrainer:
             self.log.info(f"data axis {n_data}: lr {opt.get('lr', 1e-4)} -> "
                           f"{lr} (reference lr x world_size rule)")
         if (n_data > 1 and opt.get("scale_batch_by_data", True)
-                and hasattr(data_loader, "batch_size")):
+                and hasattr(data_loader, "batch_size")
+                # idempotency guard: scaling is a trainer policy applied to
+                # a shared object — a second trainer over the same loader
+                # (retry/resume wrapper) must not scale it again
+                and not getattr(data_loader, "_vstpu_batch_scaled", False)):
             data_loader.batch_size = data_loader.batch_size * n_data
+            data_loader._vstpu_batch_scaled = True
             self.log.info(f"global batch = {data_loader.batch_size} "
                           f"({n_data} x per-device)")
         self.lr = lr

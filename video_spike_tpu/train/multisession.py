@@ -108,8 +108,12 @@ class MultiSessionTrainer:
             self.n_neurons[eid] = probe["ap"].shape[2]
         self.max_neurons = max_neurons or max(self.n_neurons.values())
 
+        # global steps/epoch: in multihost each process contributes one
+        # GLOBAL step per local batch of its shard, so divide by
+        # process_count (else the OneCycle schedule never completes)
         steps_per_epoch = sum(len(split["train"]) // bs
                               for split in self.splits.values())
+        steps_per_epoch //= jax.process_count()
         self.tx, self.schedule = make_optimizer(
             config, steps_per_epoch * config.training.num_epochs)
         self.params = None
@@ -315,11 +319,19 @@ class MultiSessionTrainer:
         global mixed-session batch from the local rows — per-row session
         ids/neuron masks make cross-host session mixing free."""
         bs = self.config.training.train_batch_size
-        local = []
+        # common step count WITHOUT materializing the epoch (buffering all
+        # sessions' raw video batches in a list cost GBs of host RAM and
+        # starved the tunnel client): each loader batches its shard
+        # sequentially, so full batches per session = num_trials // bs
+        steps = mh.global_min(sum(dl.num_trials // bs
+                                  for dl in self.train_loaders.values()))
+        losses = []
         for eid, batch in self._interleaved_batches():
+            if len(losses) >= steps:
+                break
             video = np.asarray(batch["video"], dtype=np.uint8)
             ap = np.asarray(batch["ap"], dtype=np.float32)
-            if video.shape[0] < bs:
+            if video.shape[0] < bs:   # ragged tail (drop_last semantics)
                 continue
             n = self.n_neurons[eid]
             if ap.shape[2] < self.max_neurons:
@@ -328,10 +340,6 @@ class MultiSessionTrainer:
             sids = np.full((bs,), self.sid[eid], np.int32)
             nmask = np.zeros((bs, self.max_neurons), np.float32)
             nmask[:, :n] = 1.0
-            local.append((video, ap, sids, nmask))
-        steps = mh.global_min(len(local))
-        losses = []
-        for video, ap, sids, nmask in local[:steps]:
             self._init_if_needed(video, np.zeros(1, np.int32))
             g = mh.local_rows_to_global(self.batch_shd, video, ap, sids,
                                         nmask)
@@ -530,8 +538,11 @@ class MultiSessionTrainer:
                     if epoch - self._last_best_flush >= self._save_every:
                         self._flush_best(block=False)
                         self._last_best_flush = epoch
-                    self._plot_figs(ev, tag=str(epoch))
-                if preempted:
+                    if self._is_main:   # one writer per shared log_dir
+                        self._plot_figs(ev, tag=str(epoch))
+                # agree globally before diverging into the save barrier
+                # (see BaseTrainer.train — a local flag deadlocks multihost)
+                if mh.global_any(bool(preempted)):
                     # persist within the cluster grace window and return
                     # immediately — no best-restore, no test eval (a hard
                     # kill mid-eval would truncate test_results.npy)
