@@ -1,0 +1,198 @@
+"""Fused low-rank readout update (ops/fused_readout) vs materialized paths.
+
+The fused step must reproduce ops/optim.adafactor_lean numerics given an
+exact-f32 gradient, and its forward split (first Dense + tail_apply) must be
+bit-identical to LinearModel.apply. The Pallas kernel (interpret mode on
+CPU) must match the pure-XLA fallback bit for bit, including the SR stream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from video_spike_tpu.models.linear import LinearModel
+from video_spike_tpu.ops import fused_readout as fr
+from video_spike_tpu.ops.optim import adafactor_lean, apply_updates_sr
+from video_spike_tpu.ops.poisson import poisson_nll_mean
+
+B, M, N = 8, 384, 256
+
+
+def _factors(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, M)).astype(np.float32))
+    dz = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32) * 0.1)
+    return x, dz
+
+
+def test_lowrank_stats_match_materialized():
+    x, dz = _factors()
+    g = x.T @ dz
+    row_sq, col_sq = fr.lowrank_row_col_sq(x, dz)
+    np.testing.assert_allclose(row_sq, jnp.sum(g * g, axis=1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(col_sq, jnp.sum(g * g, axis=0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_update_matches_adafactor_lean_f32():
+    """f32 kernel: 3 fused steps == 3 adafactor_lean steps on exact grads."""
+    x, dz = _factors()
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(M, N))
+                    .astype(np.float32) * 0.01)
+    lr = 1e-3
+
+    tx = adafactor_lean(lr)
+    w_ref = w
+    st_ref = tx.init({"k": w})
+    w_fused = w
+    st_fused = fr.init_fused_state(w)
+    for step in range(3):
+        g = x.T @ dz * (step + 1)          # vary the gradient across steps
+        upd, st_ref = tx.update({"k": g}, st_ref, {"k": w_ref})
+        w_ref = optax.apply_updates({"k": w_ref}, upd)["k"]
+        w_fused, st_fused = fr.fused_readout_update(
+            w_fused, x * (step + 1), dz, st_fused, lr,
+            seed=jnp.uint32(step), use_pallas=False)
+        np.testing.assert_allclose(np.asarray(st_fused.row),
+                                   np.asarray(st_ref.row["k"]),
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(w_fused), np.asarray(w_ref),
+                                   rtol=2e-5, atol=2e-7)
+
+
+def test_update_matches_adafactor_lean_bf16_sr_stats():
+    """bf16 kernel: the fused SR update stays within one bf16 ulp of the
+    f32-exact update and is unbiased across seeds."""
+    x, dz = _factors(2)
+    w32 = np.random.default_rng(3).normal(size=(M, N)).astype(np.float32)
+    w = jnp.asarray(w32).astype(jnp.bfloat16)
+    st = fr.init_fused_state(w)
+    # exact f32 target for the same step
+    w_f32, _ = fr.fused_readout_update(
+        w.astype(jnp.float32), x, dz, st, 1e-3, seed=jnp.uint32(0),
+        use_pallas=False)
+    outs = []
+    for seed in range(4):
+        w_sr, _ = fr.fused_readout_update(
+            w, x, dz, st, 1e-3, seed=jnp.uint32(seed), use_pallas=False)
+        assert w_sr.dtype == jnp.bfloat16
+        diff = np.abs(w_sr.astype(np.float32) - np.asarray(w_f32))
+        ulp = np.abs(np.asarray(w_f32)) * 2 ** -7 + 1e-30
+        assert np.all(diff <= ulp * 1.01)
+        outs.append(np.asarray(w_sr.astype(jnp.float32)))
+    # averaging over independent SR draws should approach the f32 value
+    mean_err = np.abs(np.mean(outs, axis=0) - np.asarray(w_f32)).mean()
+    one_err = np.abs(outs[0] - np.asarray(w_f32)).mean()
+    assert mean_err < one_err
+
+
+def test_pallas_kernel_matches_xla_bitwise():
+    x, dz = _factors(4)
+    w = jnp.asarray(np.random.default_rng(5).normal(size=(M, N))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    st = fr.init_fused_state(w)
+    w_x, st_x = fr.fused_readout_update(w, x, dz, st, 1e-3,
+                                        seed=jnp.uint32(7), use_pallas=False)
+    w_p, st_p = fr.fused_readout_update(w, x, dz, st, 1e-3,
+                                        seed=jnp.uint32(7), use_pallas=True,
+                                        interpret=True)
+    assert np.array_equal(
+        np.asarray(w_x, dtype=np.float32), np.asarray(w_p, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(st_x.row), np.asarray(st_p.row))
+
+
+def _tiny_model_params():
+    # first kernel (1280, 128): both dims >= 128 so the materialized
+    # adafactor_lean reference also takes the factored branch
+    model = LinearModel(encoder_hidden=(128, 32), encoder_out=16,
+                        decoder_hidden=(32,), output_dim=100 * 4)
+    x = jnp.asarray(
+        np.random.default_rng(6).integers(0, 255, (B, 5, 1, 16, 16),
+                                          dtype=np.uint8))
+    params = model.init(jax.random.PRNGKey(0),
+                        x.reshape(B, -1).astype(jnp.float32))
+    return model, params, x
+
+
+def test_forward_split_matches_model_apply():
+    model, params, x = _tiny_model_params()
+    flat_in = x.reshape(B, -1)
+    ref = model.apply(params, flat_in)
+    kernel, rest = fr.split_first_kernel(params)
+    flat = fr.preprocess_flat(model, flat_in)
+    b1 = rest["params"]["encoder"]["Dense_0"]["bias"]
+    z1 = flat @ kernel.astype(model.compute_dtype) \
+        + b1.astype(model.compute_dtype)
+    out = fr.tail_apply(model, rest, z1)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))
+    # merge round-trips the tree
+    merged = fr.merge_first_kernel(rest, kernel)
+    assert jax.tree_util.tree_structure(merged) == \
+        jax.tree_util.tree_structure(params)
+
+
+def test_fused_linear_step_trains():
+    """Full fused step: loss decreases and tracks a materialized-grad
+    adafactor_lean + SR reference step trajectory."""
+    model, params, x = _tiny_model_params()
+    flat_in = jnp.asarray(x.reshape(B, -1))
+    ap = jnp.asarray(np.random.default_rng(7).poisson(
+        1.0, (B, 100, 4)).astype(np.float32))
+    lr = 1e-3
+
+    def criterion(out, ap_, n_valid):
+        return poisson_nll_mean(out, ap_)
+
+    # reference: materialized grads, same optimizer family on ALL leaves
+    tx_all = adafactor_lean(lr)
+    p_ref, s_ref = params, tx_all.init(params)
+
+    def ref_step(p, s, seed):
+        loss, g = jax.value_and_grad(
+            lambda q: criterion(model.apply(q, flat_in), ap, B))(p)
+        upd, s = tx_all.update(g, s, p)
+        return apply_updates_sr(p, upd, seed), s, loss
+
+    tx_rest = adafactor_lean(lr)
+    step = fr.make_fused_linear_step(
+        model, tx_rest, lr, criterion, apply_updates_sr, use_pallas=False)
+    p_f = params
+    o_f = fr.init_fused_opt_state(params, tx_rest)
+
+    losses_ref, losses_f = [], []
+    for i in range(5):
+        p_ref, s_ref, l_r = ref_step(p_ref, s_ref, jnp.uint32(i))
+        p_f, o_f, l_f = step(p_f, o_f, flat_in, ap, B, jnp.uint32(i))
+        losses_ref.append(float(l_r))
+        losses_f.append(float(l_f))
+    assert losses_f[-1] < losses_f[0]
+    # same starting loss (identical forward), closely tracking trajectory
+    assert losses_f[0] == pytest.approx(losses_ref[0], rel=1e-5)
+    assert losses_f[-1] == pytest.approx(losses_ref[-1], rel=2e-2)
+    # every parameter leaf still finite, kernel actually moved
+    k_new = p_f["params"]["encoder"]["Dense_0"]["kernel"]
+    assert np.all(np.isfinite(np.asarray(k_new, dtype=np.float32)))
+    assert not np.array_equal(
+        np.asarray(k_new, dtype=np.float32),
+        np.asarray(params["params"]["encoder"]["Dense_0"]["kernel"],
+                   dtype=np.float32))
+
+
+def test_fused_step_jits_and_donates():
+    model, params, x = _tiny_model_params()
+    flat_in = jnp.asarray(x.reshape(B, -1))
+    ap = jnp.asarray(np.random.default_rng(8).poisson(
+        1.0, (B, 100, 4)).astype(np.float32))
+    tx_rest = adafactor_lean(1e-3)
+    step = fr.make_fused_linear_step(
+        model, tx_rest, 1e-3,
+        lambda out, ap_, nv: poisson_nll_mean(out, ap_),
+        apply_updates_sr, use_pallas=False)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    p, o = params, fr.init_fused_opt_state(params, tx_rest)
+    for i in range(2):
+        p, o, loss = jstep(p, o, flat_in, ap, B, jnp.uint32(i))
+    assert np.isfinite(float(loss))
