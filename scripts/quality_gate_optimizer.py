@@ -32,13 +32,19 @@ def write_arm_configs(tmp: Path) -> dict:
     cfg["optimizer"]["clipping"] = None
     af = tmp / "linear_video_af.yaml"
     af.write_text(yaml.safe_dump(cfg))
-    return {"adamw_sr": sr, "adafactor_lean_sr": af}
+    cfg["optimizer"]["fused_readout"] = True
+    fu = tmp / "linear_video_fused.yaml"
+    fu.write_text(yaml.safe_dump(cfg))
+    return {"adamw_sr": sr, "adafactor_lean_sr": af,
+            "fused_readout_sr": fu}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fixture", type=str, default=None)
+    ap.add_argument("--arms", type=str, default=None,
+                    help="comma-separated arm names (default: all)")
     args = ap.parse_args()
 
     tmp = Path(tempfile.mkdtemp(prefix="optgate_"))
@@ -51,7 +57,10 @@ def main():
              "--n_neurons", "436", "--height", "128", "--width", "128"],
             check=True, cwd=REPO)
 
+    arms = set(args.arms.split(",")) if args.arms else None
     for name, cfg in write_arm_configs(tmp).items():
+        if arms is not None and name not in arms:
+            continue
         out = subprocess.run(
             [sys.executable, "-u", "-m", "video_spike_tpu.cli.train",
              "--model_config", "configs/model/linear_video.yaml",

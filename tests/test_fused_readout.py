@@ -196,3 +196,55 @@ def test_fused_step_jits_and_donates():
     for i in range(2):
         p, o, loss = jstep(p, o, flat_in, ap, B, jnp.uint32(i))
     assert np.isfinite(float(loss))
+
+
+@pytest.fixture(scope="module")
+def tiny_session(tmp_path_factory):
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+    d = tmp_path_factory.mktemp("fused_e2e")
+    make_synthetic_session(d, eid="abcde0000", n_trials=20, n_neurons=6,
+                           seed=3, height=32, width=32)
+    return d
+
+
+def test_trainer_fused_readout_end_to_end(tiny_session, tmp_path):
+    """optimizer.fused_readout trains through BaseTrainer end-to-end and
+    matches the standard adafactor run's quality on the same session."""
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    def run(fused, subdir):
+        config = config_from_kwargs(
+            {"model": "include:configs/model/linear_of-ws.yaml"})
+        config = update_config("configs/train/linear_of-ws.yaml", config)
+        config["dirs"]["data_dir"] = str(tiny_session)
+        config["training"]["num_epochs"] = 4
+        config["training"]["train_batch_size"] = 8
+        config["optimizer"]["name"] = "adafactor"
+        config["optimizer"]["param_scale"] = False
+        config["optimizer"]["clipping"] = None
+        config["optimizer"]["param_dtype"] = "bfloat16_sr"
+        if fused:
+            config["optimizer"]["fused_readout"] = True
+            config["optimizer"]["fused_min_kernel"] = 1
+        split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+        train_dl, val_dl, test_dl = make_loader(config, split)
+        meta = get_metadata_from_loader(train_dl, config)
+        config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+        config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+        model = NAME2MODEL[config.model.model_class].from_config(config.model)
+        trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                              eid="abcde0000", dataset_split_dict=split,
+                              log_dir=str(tmp_path / subdir))
+        res = trainer.train()
+        return trainer, res
+
+    trainer, res = run(True, "fused")
+    assert trainer._fused_inner is not None, "fused step was not engaged"
+    assert np.isfinite(res["best_eval_bps"])
+    _, res_std = run(False, "std")
+    assert res["best_eval_bps"] > res_std["best_eval_bps"] - 0.2, (
+        res["best_eval_bps"], res_std["best_eval_bps"])

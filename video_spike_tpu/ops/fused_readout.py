@@ -204,8 +204,13 @@ def fused_readout_update(kernel: jax.Array, x: jax.Array, dz: jax.Array,
     dzc = dz.astype(jnp.float32) * b[None, :]        # (B, N)
 
     if use_pallas is None:
+        # auto: the kernel only lowers on TPU, and under a >1-device mesh
+        # the XLA variant is the SPMD-safe choice (its batch contraction
+        # psums over the data axis; pallas_call is not partitionable)
         use_pallas = (kernel.dtype == jnp.bfloat16 and n <= 1024
-                      and _pick_tile(m) is not None)
+                      and _pick_tile(m) is not None
+                      and jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
     if use_pallas:
         new_kernel = _apply_scaled_outer_pallas(kernel, xa, dzc, seed,
                                                 interpret=interpret)

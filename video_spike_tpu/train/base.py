@@ -246,6 +246,20 @@ class BaseTrainer:
         # nothing and keep the sensitive scalars exact.
         self._sr_params = (config.optimizer.get("param_dtype")
                            == "bfloat16_sr")
+        # fused low-rank readout update (ops/fused_readout): the giant
+        # first-Dense gradient is rank-batch, so its adafactor step never
+        # materializes an (M, N) gradient. Linear-only; incompatible with
+        # gradient accumulation (MultiSteps wraps tx.update) and frozen
+        # subtrees (never present on LinearModel).
+        self._fused_readout = bool(config.optimizer.get("fused_readout"))
+        if self._fused_readout and (
+                int(config.optimizer.get(
+                    "gradient_accumulation_steps", 1) or 1) > 1
+                or self._frozen_paths):
+            self.log.info("fused_readout disabled: incompatible with "
+                          "gradient accumulation / frozen paths")
+            self._fused_readout = False
+        self._fused_inner = None
         if self._sr_params:
             from video_spike_tpu.ops.optim import apply_updates_sr
             self._apply_updates = apply_updates_sr
@@ -295,12 +309,37 @@ class BaseTrainer:
                            if p.dtype == jnp.float32 and p.size >= (1 << 16)
                            else p), params)
         self.params = mh.replicate_tree(params, self.repl)
+        if self._fused_readout:
+            from video_spike_tpu.ops import fused_readout as fr
+            kern = (params.get("params", {}).get("encoder", {})
+                    .get("Dense_0", {}).get("kernel", None))
+            min_kernel = int(self.config.optimizer.get(
+                "fused_min_kernel", 1 << 22))
+            if (type(self.model).__name__ == "LinearModel"
+                    and kern is not None and kern.ndim == 2
+                    and kern.size >= min_kernel):
+                self._fused_inner = fr.make_fused_linear_step(
+                    self.model, self.tx, self.schedule, self.criterion,
+                    self._apply_updates)
+                self.log.info(
+                    f"fused readout update on {kern.shape} kernel "
+                    f"(rank-B factored stats, no materialized gradient)")
+            else:
+                self.log.info("fused_readout requested but the model has "
+                              "no eligible first-Dense kernel; using the "
+                              "standard step")
         # on replicated global inputs the eager tx.init output is already
         # replicated over the global mesh (device_put cannot target the
         # other hosts' devices)
-        self.opt_state = (self.tx.init(self.params) if self._multihost
-                          else jax.device_put(self.tx.init(self.params),
-                                              self.repl))
+        if self._fused_inner is not None:
+            from video_spike_tpu.ops import fused_readout as fr
+            o0 = fr.init_fused_opt_state(self.params, self.tx)
+            self.opt_state = (o0 if self._multihost
+                              else jax.device_put(o0, self.repl))
+        else:
+            self.opt_state = (self.tx.init(self.params) if self._multihost
+                              else jax.device_put(self.tx.init(self.params),
+                                                  self.repl))
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         self.log.info(f"initialized {type(self.model).__name__}: "
                       f"{n_params/1e6:.1f}M params")
@@ -317,6 +356,9 @@ class BaseTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = apply_updates(params, updates, seed)
             return params, opt_state, loss
+
+        if self._fused_inner is not None:
+            train_step = self._fused_inner
 
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_fn = jax.jit(lambda p, x: model.apply(p, x))
@@ -404,9 +446,13 @@ class BaseTrainer:
                     f"frozen-encoder features staged ({F.nbytes/1e6:.0f} MB,"
                     f" {F.dtype}); train steps are now head-only")
 
+        fused_inner = self._fused_inner
+
         def cached_step(params, opt_state, X_all, ap_all, idx, n_valid, seed):
             x = jnp.take(X_all, idx, axis=0)
             ap = jnp.take(ap_all, idx, axis=0)
+            if fused_inner is not None:
+                return fused_inner(params, opt_state, x, ap, n_valid, seed)
 
             def loss_fn(p):
                 return criterion(apply_fn(p, x), ap, n_valid)
