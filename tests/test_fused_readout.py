@@ -248,3 +248,56 @@ def test_trainer_fused_readout_end_to_end(tiny_session, tmp_path):
     _, res_std = run(False, "std")
     assert res["best_eval_bps"] > res_std["best_eval_bps"] - 0.2, (
         res["best_eval_bps"], res_std["best_eval_bps"])
+
+
+def test_fused_probe_head_step_matches_standard():
+    """VideoMAEProbe head: fused step tracks the materialized-grad
+    adafactor_lean head-only step (f32 params -> exact SR-free adds)."""
+    from video_spike_tpu.models.videomae import VideoMAEProbe
+    cfg = dict(image_size=32, patch_size=8, num_channels=3, num_frames=8,
+               tubelet_size=2, hidden_size=32, num_hidden_layers=1,
+               num_attention_heads=4, intermediate_size=64,
+               # encoder head 128-wide so min(shape) >= 128 puts the
+               # materialized reference on the factored branch too
+               encoder={"output_dim": 128}, decoder={"output_dim": 100 * 4})
+    model = VideoMAEProbe(config=cfg)
+    rng = np.random.default_rng(11)
+    video = jnp.asarray(rng.integers(0, 255, (4, 120, 1, 32, 32),
+                                     dtype=np.uint8))
+    params = model.init(jax.random.PRNGKey(0), video)
+    hidden = model.apply(params, video, method="encode")
+    assert hidden.shape[0] == 4 and hidden.ndim == 3
+    ap = jnp.asarray(rng.poisson(1.0, (4, 100, 4)).astype(np.float32))
+    lr = 1e-3
+
+    def criterion(out, ap_, nv):
+        return poisson_nll_mean(out, ap_)
+
+    tx_all = adafactor_lean(lr)
+    p_ref, s_ref = params, tx_all.init(params)
+
+    def ref_step(p, s, seed):
+        loss, g = jax.value_and_grad(lambda q: criterion(
+            model.apply(q, hidden, method="head"), ap, 4))(p)
+        upd, s = tx_all.update(g, s, p)
+        return apply_updates_sr(p, upd, seed), s, loss
+
+    tx_rest = adafactor_lean(lr)
+    step = fr.make_fused_probe_head_step(
+        model, tx_rest, lr, criterion, apply_updates_sr, use_pallas=False)
+    p_f = params
+    o_f = fr.init_fused_opt_state(params, tx_rest,
+                                  split=fr.split_head_kernel)
+    for i in range(5):
+        p_ref, s_ref, l_r = ref_step(p_ref, s_ref, jnp.uint32(i))
+        p_f, o_f, l_f = step(p_f, o_f, hidden, ap, 4, jnp.uint32(i))
+        assert float(l_f) == pytest.approx(float(l_r), rel=3e-3), i
+    k_ref = np.asarray(p_ref["params"]["encoder_head"]["kernel"])
+    k_f = np.asarray(p_f["params"]["encoder_head"]["kernel"])
+    np.testing.assert_allclose(k_f, k_ref, rtol=5e-3, atol=1e-6)
+    # the frozen backbone is untouched by the fused step
+    b_ref = np.asarray(jax.tree.leaves(
+        params["params"]["video_mae"])[0])
+    b_f = np.asarray(jax.tree.leaves(
+        p_f["params"]["video_mae"])[0])
+    assert np.array_equal(b_ref, b_f)

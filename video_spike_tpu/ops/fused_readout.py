@@ -318,6 +318,78 @@ def make_fused_linear_step(model, tx_rest, schedule, criterion,
     return step
 
 
-def init_fused_opt_state(params, tx_rest):
-    kernel, rest = split_first_kernel(params)
+def init_fused_opt_state(params, tx_rest, split=split_first_kernel):
+    kernel, rest = split(params)
     return init_fused_state(kernel), tx_rest.init(rest)
+
+
+# ---------------------------------------------------------------------------
+# VideoMAEProbe head integration: the frozen-feature readout
+# ---------------------------------------------------------------------------
+#
+# The probe's trainable readout is Linear(1568*768 -> enc_out) ->
+# Linear(-> 100*N) with NO activation between (reference
+# /root/reference/src/model/videomae.py:13-14; models/videomae.py head()).
+# The first kernel is ~308M params and the production trainer feeds it
+# cached frozen features (train/base.py frozen-split path), so the head
+# step is exactly the HBM-bound giant-readout shape the fused update was
+# built for.
+
+
+def split_head_kernel(params):
+    """(encoder_head kernel, params-without-it) for VideoMAEProbe."""
+    kernel = params["params"]["encoder_head"]["kernel"]
+    rest = {**params,
+            "params": {**params["params"],
+                       "encoder_head": {
+                "bias": params["params"]["encoder_head"]["bias"]}}}
+    return kernel, rest
+
+
+def merge_head_kernel(rest, kernel):
+    return {**rest,
+            "params": {**rest["params"],
+                       "encoder_head": {
+                "bias": rest["params"]["encoder_head"]["bias"],
+                "kernel": kernel}}}
+
+
+def make_fused_probe_head_step(model, tx_rest, schedule, criterion,
+                               apply_updates_rest, *, use_pallas=None,
+                               interpret=False):
+    """Fused head-only train step over cached frozen features.
+
+    ``step(params, opt_state, hidden, ap, n_valid, seed)`` where ``hidden``
+    is the staged (B, L, D) backbone output. Mirrors
+    ``VideoMAEProbe.head`` (f32 promotion: flax Dense with dtype=None casts
+    the bf16 kernel up), with the encoder_head kernel updated from its
+    rank-B factors. ``opt_state = (FusedReadoutState, tx_rest state)``.
+    """
+    out_dim = model.config["decoder"]["output_dim"]
+
+    def step(params, opt_state, hidden, ap, n_valid, seed):
+        fstate, rest_state = opt_state
+        kernel, rest = split_head_kernel(params)
+        b = hidden.shape[0]
+        flat = hidden.reshape(b, -1).astype(jnp.float32)
+        z_nob = flat @ kernel.astype(jnp.float32)
+
+        def loss_rest(rest_p, z_):
+            b1 = rest_p["params"]["encoder_head"]["bias"]
+            z1 = z_ + b1.astype(jnp.float32)
+            dec = rest_p["params"]["decoder_head"]
+            out = (z1 @ dec["kernel"].astype(jnp.float32)
+                   + dec["bias"].astype(jnp.float32))
+            out = out.reshape(b, 100, out_dim // 100)
+            return criterion(out, ap, n_valid)
+
+        loss, (g_rest, dz) = jax.value_and_grad(
+            loss_rest, argnums=(0, 1))(rest, z_nob)
+        upd_rest, rest_state = tx_rest.update(g_rest, rest_state, rest)
+        rest = apply_updates_rest(rest, upd_rest, seed)
+        kernel, fstate = fused_readout_update(
+            kernel, flat, dz, fstate, schedule, seed=seed,
+            use_pallas=use_pallas, interpret=interpret)
+        return merge_head_kernel(rest, kernel), (fstate, rest_state), loss
+
+    return step

@@ -260,6 +260,8 @@ class BaseTrainer:
                           "gradient accumulation / frozen paths")
             self._fused_readout = False
         self._fused_inner = None
+        self._fused_is_head = False
+        self._fused_split_fn = None
         if self._sr_params:
             from video_spike_tpu.ops.optim import apply_updates_sr
             self._apply_updates = apply_updates_sr
@@ -309,31 +311,51 @@ class BaseTrainer:
                            if p.dtype == jnp.float32 and p.size >= (1 << 16)
                            else p), params)
         self.params = mh.replicate_tree(params, self.repl)
+        self._fused_is_head = False
+        self._fused_split_fn = None
         if self._fused_readout:
             from video_spike_tpu.ops import fused_readout as fr
-            kern = (params.get("params", {}).get("encoder", {})
-                    .get("Dense_0", {}).get("kernel", None))
             min_kernel = int(self.config.optimizer.get(
                 "fused_min_kernel", 1 << 22))
-            if (type(self.model).__name__ == "LinearModel"
-                    and kern is not None and kern.ndim == 2
-                    and kern.size >= min_kernel):
-                self._fused_inner = fr.make_fused_linear_step(
-                    self.model, self.tx, self.schedule, self.criterion,
-                    self._apply_updates)
+            model_name = type(self.model).__name__
+            kern = None
+            if model_name == "LinearModel":
+                kern = (params.get("params", {}).get("encoder", {})
+                        .get("Dense_0", {}).get("kernel", None))
+                if kern is not None and kern.ndim == 2 \
+                        and kern.size >= min_kernel:
+                    self._fused_inner = fr.make_fused_linear_step(
+                        self.model, self.tx, self.schedule, self.criterion,
+                        self._apply_updates)
+                    self._fused_split_fn = fr.split_first_kernel
+            elif model_name == "VideoMAEProbe" and self._frozen_split:
+                kern = (params.get("params", {})
+                        .get("encoder_head", {}).get("kernel", None))
+                if kern is not None and kern.ndim == 2 \
+                        and kern.size >= min_kernel:
+                    # head-only fused step: consumes cached frozen
+                    # features, so it is engaged by the HBM-cached path
+                    # only (the streaming step keeps the standard update)
+                    self._fused_inner = fr.make_fused_probe_head_step(
+                        self.model, self.tx, self.schedule, self.criterion,
+                        self._apply_updates)
+                    self._fused_split_fn = fr.split_head_kernel
+                    self._fused_is_head = True
+            if self._fused_split_fn is not None:
                 self.log.info(
                     f"fused readout update on {kern.shape} kernel "
                     f"(rank-B factored stats, no materialized gradient)")
             else:
                 self.log.info("fused_readout requested but the model has "
-                              "no eligible first-Dense kernel; using the "
+                              "no eligible readout kernel; using the "
                               "standard step")
         # on replicated global inputs the eager tx.init output is already
         # replicated over the global mesh (device_put cannot target the
         # other hosts' devices)
         if self._fused_inner is not None:
             from video_spike_tpu.ops import fused_readout as fr
-            o0 = fr.init_fused_opt_state(self.params, self.tx)
+            o0 = fr.init_fused_opt_state(self.params, self.tx,
+                                         split=self._fused_split_fn)
             self.opt_state = (o0 if self._multihost
                               else jax.device_put(o0, self.repl))
         else:
@@ -358,7 +380,19 @@ class BaseTrainer:
             return params, opt_state, loss
 
         if self._fused_inner is not None:
-            train_step = self._fused_inner
+            if self._fused_is_head:
+                # opt_state carries the fused structure, so the streaming
+                # step must use the fused head update too: encode (frozen,
+                # gradient-free) then the fused head step on the features
+                fused_inner = self._fused_inner
+
+                def train_step(params, opt_state, inputs, ap, n_valid,
+                               seed):
+                    hidden = model.apply(params, inputs, method="encode")
+                    return fused_inner(params, opt_state, hidden, ap,
+                                       n_valid, seed)
+            else:
+                train_step = self._fused_inner
 
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_fn = jax.jit(lambda p, x: model.apply(p, x))
@@ -436,22 +470,27 @@ class BaseTrainer:
         apply_updates = self._apply_updates
 
         apply_fn = model.apply
+        features_staged = False
         if self._frozen_split:
             F = self._encode_staged_trials()
             if F is not None:
                 self._dev_data = (F, self._dev_data[1])
                 self._staged_bytes = F.nbytes + A.nbytes
                 apply_fn = (lambda p, x: model.apply(p, x, method="head"))
+                features_staged = True
                 self.log.info(
                     f"frozen-encoder features staged ({F.nbytes/1e6:.0f} MB,"
                     f" {F.dtype}); train steps are now head-only")
 
         fused_inner = self._fused_inner
+        fused_needs_encode = self._fused_is_head and not features_staged
 
         def cached_step(params, opt_state, X_all, ap_all, idx, n_valid, seed):
             x = jnp.take(X_all, idx, axis=0)
             ap = jnp.take(ap_all, idx, axis=0)
             if fused_inner is not None:
+                if fused_needs_encode:   # features not staged: encode first
+                    x = model.apply(params, x, method="encode")
                 return fused_inner(params, opt_state, x, ap, n_valid, seed)
 
             def loss_fn(p):
