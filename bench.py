@@ -183,29 +183,33 @@ def main() -> None:
     # knobs: optimizer.name=adafactor, param_scale=false, clipping=null,
     # param_dtype=bfloat16_sr; the reference-parity AdamW default stays in
     # configs/train/linear_video.yaml.
+    # round-3 addition: the 504M first-layer gradient is rank-16, so the
+    # factored-RMS step runs from closed-form rank-B statistics and one
+    # scaled outer-product matmul — the 1 GB gradient is never
+    # materialized (ops/fused_readout.py; trainer knob
+    # optimizer.fused_readout). Measured 8.23 -> 6.14 ms/step on the chip
+    # (scripts/profile_fused_readout.py); quality-gated like every
+    # optimizer change (BASELINE.md "optimizer gate").
     from video_spike_tpu.ops.optim import apply_updates_sr
+    from video_spike_tpu.ops import fused_readout as fr
     params = jax.tree.map(
         lambda p: (p.astype(jnp.bfloat16)
                    if p.dtype == jnp.float32 and p.size >= (1 << 16)
                    else p), params)
-    tx = optax.adafactor(optax.cosine_onecycle_schedule(10_000, 5e-5),
-                         multiply_by_parameter_scale=False,
+    sched = optax.cosine_onecycle_schedule(10_000, 5e-5)
+    tx = optax.adafactor(sched, multiply_by_parameter_scale=False,
                          clipping_threshold=None)
-    opt_state = tx.init(params)
+    fused_inner = fr.make_fused_linear_step(
+        model, tx, sched,
+        lambda out, ap, n_valid: poisson_nll_mean(out, ap),
+        apply_updates_sr)
+    opt_state = fr.init_fused_opt_state(params, tx)
 
     def cached_step(params, opt_state, X_all, ap_all, idx, seed):
         x = jnp.take(X_all, idx, axis=0)
         ap = jnp.take(ap_all, idx, axis=0)
-
-        def loss_fn(p):
-            flat = x.astype(jnp.bfloat16).reshape(x.shape[0], -1)
-            return poisson_nll_mean(model.apply(p, flat),
-                                    ap.astype(jnp.float32))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = apply_updates_sr(params, updates, seed)
-        return params, opt_state, loss
+        return fused_inner(params, opt_state, x, ap.astype(jnp.float32),
+                           jnp.float32(BATCH), seed)
 
     step = jax.jit(cached_step, donate_argnums=(0, 1))
 

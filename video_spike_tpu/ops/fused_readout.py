@@ -204,13 +204,16 @@ def fused_readout_update(kernel: jax.Array, x: jax.Array, dz: jax.Array,
     dzc = dz.astype(jnp.float32) * b[None, :]        # (B, N)
 
     if use_pallas is None:
-        # auto: the kernel only lowers on TPU, and under a >1-device mesh
-        # the XLA variant is the SPMD-safe choice (its batch contraction
-        # psums over the data axis; pallas_call is not partitionable)
-        use_pallas = (kernel.dtype == jnp.bfloat16 and n <= 1024
-                      and _pick_tile(m) is not None
-                      and jax.default_backend() == "tpu"
-                      and jax.device_count() == 1)
+        # Measured at the production 504M shape on the v5e chip (update
+        # alone, chained timing): XLA 4.60 ms vs Pallas 14.35 ms at the
+        # initial (tm=1024, parallel-sem) config, 5.86 ms with tm=4096 +
+        # arbitrary semantics + input/output aliasing, and 6.95 ms using
+        # the hardware prng + pltpu.stochastic_round. XLA's dot-epilogue
+        # fusion beats the hand-tiled kernel on every variant (same
+        # pattern as the retired round-1 kernels, ops/pallas/__init__.py),
+        # so the XLA path is the production default; the kernel stays for
+        # the record and as an A/B harness (use_pallas=True).
+        use_pallas = False
     if use_pallas:
         new_kernel = _apply_scaled_outer_pallas(kernel, xa, dzc, seed,
                                                 interpret=interpret)

@@ -18,6 +18,15 @@ the real chip at the production shapes, and retired when they lost:
   workload was architectural: cache the frozen backbone's features once
   per trial (``train/base.py:_encode_staged_trials``) instead of
   recomputing 12 layers of attention every epoch.
+- fused readout W-stream update (round 3): tile matmul + add + stochastic
+  round over the 504M kernel, so HBM sees only W in/out. Lost to XLA's
+  dot-epilogue fusion on every variant: 14.35 ms (tm=1024), 5.86 ms
+  (tm=4096, arbitrary semantics, io-aliased), 6.95 ms (hardware prng +
+  ``pltpu.stochastic_round``) vs XLA 4.60 ms for the same math. The win
+  that shipped was algebraic, not a kernel: the rank-B factored update in
+  ``ops/fused_readout.py`` (never materialize the gradient), with XLA
+  scheduling the resulting two small matmuls + epilogue. The kernel stays
+  in ``ops/fused_readout.py`` as the A/B harness (``use_pallas=True``).
 
 This workload's hot ops are small-sequence matmul shapes that XLA already
 schedules optimally (SURVEY.md §5.7: 64-121 tokens, 100 spike bins); the
