@@ -13,7 +13,11 @@ moment) three ways at the production shape:
 
 Timing rules per CLAUDE.md: chain the carry through sequential dispatches,
 sync ONCE via device_get; run on an idle host. Usage:
-  python scripts/profile_fused_readout.py [a|b|c ...]   (default: all)
+  python scripts/profile_fused_readout.py [a|b|c|pa|pb ...]  (default: a b c)
+
+pa/pb: the VideoMAE-probe head shape (308M encoder_head over cached
+(8, 1568, 768) frozen features; BASELINE.md "VideoMAE probe profile") —
+pa = materialized head step (the 6.66 ms round-3 record), pb = fused.
 """
 
 import sys
@@ -63,8 +67,94 @@ def timeit(name, step, carry, args, iters=40, warmup=5):
     return dt
 
 
+def main_probe(which):
+    """Probe head arms: batch 8, features (8, 1568, 768) bf16 staged."""
+    import flax.linen as nn
+    B, L, D, N = 8, 1568, 768, 436
+    rng = np.random.default_rng(0)
+    hidden = jax.device_put(rng.normal(size=(B, L, D))
+                            .astype(np.float32)).astype(jnp.bfloat16)
+    ap = jax.device_put(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
+    sched = optax.cosine_onecycle_schedule(10_000, 5e-5)
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, h):
+            flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
+            x = nn.Dense(256, name="encoder_head")(flat)
+            x = nn.Dense(100 * N, name="decoder_head")(x)
+            return x.reshape(h.shape[0], 100, N)
+
+    head = Head()
+    params_host = jax.device_get(
+        bf16_store(head.init(jax.random.PRNGKey(0), hidden[:1])))
+
+    def fresh_params():   # each arm donates its own copy
+        return jax.device_put(params_host)
+
+    def criterion(out, ap_, n_valid):
+        return poisson_nll_mean(out, ap_)
+
+    if "pa" in which:
+        tx = optax.adafactor(sched, multiply_by_parameter_scale=False,
+                             clipping_threshold=None)
+
+        def step_a(carry, hidden, ap, seed):
+            params, opt_state, _ = carry
+            loss, grads = jax.value_and_grad(
+                lambda p: criterion(head.apply(p, hidden), ap, B))(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (apply_updates_sr(params, updates, seed),
+                    opt_state, loss)
+
+        params = fresh_params()
+        timeit_probe("probe-materialized", step_a,
+                     (params, tx.init(params), jnp.float32(0)),
+                     (hidden, ap), B)
+
+    if "pb" in which:
+        class FakeProbe:
+            config = {"decoder": {"output_dim": 100 * N}}
+        tx_rest = optax.adafactor(sched, multiply_by_parameter_scale=False,
+                                  clipping_threshold=None)
+        inner = fr.make_fused_probe_head_step(
+            FakeProbe(), tx_rest, sched, criterion, apply_updates_sr)
+
+        def step_f(carry, hidden, ap, seed):
+            params, opt_state, _ = carry
+            p, o, loss = inner(params, opt_state, hidden, ap, B, seed)
+            return (p, o, loss)
+
+        params = fresh_params()
+        timeit_probe("probe-fused", step_f,
+                     (params, fr.init_fused_opt_state(
+                         params, tx_rest, split=fr.split_head_kernel),
+                      jnp.float32(0)),
+                     (hidden, ap), B)
+
+
+def timeit_probe(name, step, carry, args, batch, iters=40, warmup=5):
+    jstep = jax.jit(step, donate_argnums=(0,))
+    for i in range(warmup):
+        carry = jstep(carry, *args, jnp.uint32(i))
+    _ = float(jax.tree.leaves(carry)[-1].reshape(-1)[0])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        carry = jstep(carry, *args, jnp.uint32(warmup + i))
+    _ = float(jax.tree.leaves(carry)[-1].reshape(-1)[0])
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch * T_FRAMES / dt
+    print(f"{name:20s} {dt*1e3:7.2f} ms/step   {fps:9.0f} frames/s")
+    return dt
+
+
 def main():
     which = set(sys.argv[1:]) or {"a", "b", "c"}
+    if which & {"pa", "pb"}:
+        main_probe(which)
+        which -= {"pa", "pb"}
+        if not which:
+            return
     model = LinearModel(encoder_hidden=(256, 128), encoder_out=64,
                         decoder_hidden=(128, 256),
                         output_dim=100 * N_NEURONS)
