@@ -146,6 +146,58 @@ def bench_ssl_step(rng, turbo: bool = False) -> dict:
 def bench_ssl_turbo(rng) -> dict:
     return bench_ssl_step(rng, turbo=True)
 
+
+def bench_probe_head(rng) -> dict:
+    """VideoMAE-probe head step at the production configuration: frozen
+    features cached in HBM (train/base.py frozen-split path), bf16+SR
+    store, fused low-rank update on the 308M encoder_head
+    (BASELINE.md "VideoMAE probe profile"; A/B in
+    scripts/profile_fused_readout.py pa/pb)."""
+    import flax.linen as nn
+    from video_spike_tpu.ops.optim import apply_updates_sr
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+    from video_spike_tpu.ops import fused_readout as fr
+    B, L, D, N = 8, 1568, 768, 436
+    hidden = jnp.asarray(rng.normal(size=(B, L, D))
+                         .astype(np.float32)).astype(jnp.bfloat16)
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, h):
+            flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
+            x = nn.Dense(256, name="encoder_head")(flat)
+            x = nn.Dense(100 * N, name="decoder_head")(x)
+            return x.reshape(h.shape[0], 100, N)
+
+    head = Head()
+    params = jax.tree.map(
+        lambda p: (p.astype(jnp.bfloat16)
+                   if p.dtype == jnp.float32 and p.size >= (1 << 16)
+                   else p), head.init(jax.random.PRNGKey(0), hidden[:1]))
+    sched = optax.cosine_onecycle_schedule(10_000, 5e-5)
+    tx = optax.adafactor(sched, multiply_by_parameter_scale=False,
+                         clipping_threshold=None)
+
+    class ProbeLike:
+        config = {"decoder": {"output_dim": 100 * N}}
+
+    inner = fr.make_fused_probe_head_step(
+        ProbeLike(), tx, sched,
+        lambda out, a, nv: poisson_nll_mean(out, a), apply_updates_sr)
+
+    def step(carry, hidden, ap):
+        params, opt_state, i = carry
+        p, o, _ = inner(params, opt_state, hidden, ap, jnp.float32(B),
+                        i.astype(jnp.uint32))
+        return p, o, i + 1
+
+    dt = _chained(step, (params, fr.init_fused_opt_state(
+        params, tx, split=fr.split_head_kernel), jnp.int32(0)),
+        (hidden, ap), iters=40)
+    return {"probe_head_ms_per_step": round(dt * 1e3, 2),
+            "probe_head_frames_per_s": round(B * 120 / dt, 1)}
+
 # measured input-pipeline bound of the reference stack (see docstring and
 # BASELINE.md "vs_baseline denominator"); scripts/torch_reference_bench.py
 REFERENCE_A100_FPS = 21233.0
@@ -262,7 +314,8 @@ def main() -> None:
         jax.tree.map(lambda a: a.delete() if hasattr(a, "delete") else None,
                      buf)
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
-        for sub in (bench_vtt_flagship, bench_ssl_step, bench_ssl_turbo):
+        for sub in (bench_vtt_flagship, bench_ssl_step, bench_ssl_turbo,
+                    bench_probe_head):
             try:
                 record.update(sub(rng))
             except Exception as e:   # the headline must still print

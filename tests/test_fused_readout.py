@@ -301,3 +301,54 @@ def test_fused_probe_head_step_matches_standard():
     b_f = np.asarray(jax.tree.leaves(
         p_f["params"]["video_mae"])[0])
     assert np.array_equal(b_ref, b_f)
+
+
+def test_fused_opt_state_checkpoint_roundtrip(tiny_session, tmp_path):
+    """model_last with the fused (FusedReadoutState, rest) opt_state must
+    survive an orbax save/restore and resume training."""
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    def build(log_dir):
+        config = config_from_kwargs(
+            {"model": "include:configs/model/linear_of-ws.yaml"})
+        config = update_config("configs/train/linear_of-ws.yaml", config)
+        config["dirs"]["data_dir"] = str(tiny_session)
+        config["training"]["num_epochs"] = 2
+        config["training"]["train_batch_size"] = 8
+        config["optimizer"]["name"] = "adafactor"
+        config["optimizer"]["param_scale"] = False
+        config["optimizer"]["clipping"] = None
+        config["optimizer"]["fused_readout"] = True
+        config["optimizer"]["fused_min_kernel"] = 1
+        split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+        train_dl, val_dl, test_dl = make_loader(config, split)
+        meta = get_metadata_from_loader(train_dl, config)
+        config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+        config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+        model = NAME2MODEL[config.model.model_class].from_config(
+            config.model)
+        return BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                           eid="abcde0000", dataset_split_dict=split,
+                           log_dir=log_dir)
+
+    log_dir = str(tmp_path / "run")
+    t1 = build(log_dir)
+    t1.train()
+    assert t1._fused_inner is not None
+    count1 = int(jax.device_get(t1.opt_state[0].count))
+    assert count1 > 0
+
+    t2 = build(log_dir)
+    assert t2.resume()
+    fstate = t2.opt_state[0]
+    assert type(fstate).__name__ == "FusedReadoutState"
+    assert int(jax.device_get(fstate.count)) == count1
+    np.testing.assert_allclose(np.asarray(jax.device_get(fstate.row)),
+                               np.asarray(jax.device_get(t1.opt_state[0].row)))
+    # and training continues from the restored state
+    res = t2.train_epoch()
+    assert np.isfinite(res["train_loss"])
