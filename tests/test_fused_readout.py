@@ -352,3 +352,41 @@ def test_fused_opt_state_checkpoint_roundtrip(tiny_session, tmp_path):
     # and training continues from the restored state
     res = t2.train_epoch()
     assert np.isfinite(res["train_loss"])
+
+
+def test_light_eval_matches_host_eval(tiny_session, tmp_path):
+    """The on-device eval metrics path must agree with the host
+    metrics_list path on the same params (bps/rsquared/loss)."""
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.train.base import BaseTrainer
+
+    config = config_from_kwargs(
+        {"model": "include:configs/model/linear_of-ws.yaml"})
+    config = update_config("configs/train/linear_of-ws.yaml", config)
+    config["dirs"]["data_dir"] = str(tiny_session)
+    config["training"]["num_epochs"] = 2
+    config["training"]["train_batch_size"] = 8
+    split = split_dataset(str(tiny_session), "abcde0000", seed=0)
+    train_dl, val_dl, test_dl = make_loader(config, split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["encoder"]["input_dim"] = meta["input_dim"]
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = NAME2MODEL[config.model.model_class].from_config(config.model)
+    trainer = BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                          eid="abcde0000", dataset_split_dict=split,
+                          log_dir=str(tmp_path))
+    trainer.train_epoch()
+
+    light = trainer.eval_epoch()
+    assert "eval_gt" not in light, "light path must not fetch arrays"
+    # force the host path on identical params via save_plot
+    trainer.config["save_plot"] = True
+    trainer._eval_input_cache = None    # host path restages (ap rows kept)
+    host = trainer.eval_epoch()
+    assert "eval_gt" in host
+    for k in ("eval_bps", "eval_rsquared", "eval_loss"):
+        assert light["eval_res"][k] == pytest.approx(
+            host["eval_res"][k], abs=3e-4), k

@@ -680,21 +680,67 @@ class BaseTrainer:
         cache[phase] = staged
         return staged
 
+    def _light_metrics(self, out_all, ap_all):
+        """(bps, rsquared) fully on device — same math as metrics_list on
+        the concatenated session (device bps + vectorized sklearn-style
+        R²), so the per-epoch eval fetches two scalars instead of the full
+        gt/pred tensors (host numpy metrics cost ~200 ms/epoch on this
+        1-core host; device: ~2 ms + one RTT)."""
+        from video_spike_tpu.ops.metrics import (
+            bits_per_spike_per_neuron, r2_per_column)
+        preds = jnp.exp(out_all.astype(jnp.float32))
+        gt = ap_all.astype(jnp.float32)
+        bps_n = bits_per_spike_per_neuron(preds, gt)
+        bps_n = jnp.where(jnp.isinf(bps_n), jnp.nan, bps_n)
+        # host path: per trial, R² of the (N, T) plane (samples=neurons,
+        # outputs=bins), then nanmean over trials
+        r2_t = jax.vmap(lambda g, p: jnp.mean(
+            r2_per_column(g.T, p.T)))(gt, preds)
+        return jnp.nanmean(bps_n), jnp.nanmean(r2_t)
+
     def _run_eval(self, loader, split_eids, phase: str) -> Optional[dict]:
         if loader is None or loader.num_trials == 0:
             return None
+        # light path: metrics on device, no gt/pred host round-trip. Full
+        # arrays are only needed for figure plotting (save_plot) and the
+        # test_results.npy contract; multi-eid grouping and multihost row
+        # gathering keep the host path.
+        light = (phase != "test" and len(split_eids) == 1
+                 and not self._multihost
+                 and not self.config.get("save_plot")
+                 and tuple(self.metrics) == ("bps", "rsquared"))
         session = {e: {"gt": [], "preds": []} for e in split_eids}
-        losses = []
+        losses, dev_outs, dev_gts = [], [], []
         eval_fn = self._head_fn if self._frozen_split else self._eval_fn
         for x, ap_d, n_valid, ap, eids in self._eval_batches(loader, phase):
             out = eval_fn(self.params, x)
             # device scalar; converted once after the loop (syncs cost ~29 ms
             # RTT each on this runtime)
             losses.append(poisson_nll_mean(out, ap_d, n_valid))
+            if light:
+                k = ap.shape[0]          # valid rows (host-known, static)
+                dev_outs.append(out[:k])
+                dev_gts.append(ap_d[:k])
+                continue
             out = mh.gather_rows(out)[: ap.shape[0]]
             for i, e in enumerate(eids):
                 session[e]["gt"].append(ap[i])
                 session[e]["preds"].append(out[i])
+        if light:
+            out_all = (dev_outs[0] if len(dev_outs) == 1
+                       else jnp.concatenate(dev_outs, axis=0))
+            gt_all = (dev_gts[0] if len(dev_gts) == 1
+                      else jnp.concatenate(dev_gts, axis=0))
+            fn = getattr(self, "_light_metrics_fn", None)
+            if fn is None:
+                fn = self._light_metrics_fn = jax.jit(self._light_metrics)
+            bps, r2 = fn(out_all, gt_all)
+            vals = np.asarray(jnp.stack(  # ONE sync for the whole eval
+                losses + [bps, r2]), dtype=np.float64)
+            return {f"{phase}_res": {
+                f"{phase}_loss": round(float(vals[:-2].mean()), 5),
+                f"{phase}_bps": round(float(vals[-2]), 5),
+                f"{phase}_rsquared": round(float(vals[-1]), 5)}}
         losses = np.asarray(jnp.stack(losses)).tolist()  # one sync
         gt, preds = {}, {}
         metric_acc = {k: [] for k in self.metrics}
