@@ -680,24 +680,6 @@ class BaseTrainer:
         cache[phase] = staged
         return staged
 
-    def _light_metrics(self, out_all, ap_all):
-        """(bps, rsquared) fully on device — same math as metrics_list on
-        the concatenated session (device bps + vectorized sklearn-style
-        R²), so the per-epoch eval fetches two scalars instead of the full
-        gt/pred tensors (host numpy metrics cost ~200 ms/epoch on this
-        1-core host; device: ~2 ms + one RTT)."""
-        from video_spike_tpu.ops.metrics import (
-            bits_per_spike_per_neuron, r2_per_column)
-        preds = jnp.exp(out_all.astype(jnp.float32))
-        gt = ap_all.astype(jnp.float32)
-        bps_n = bits_per_spike_per_neuron(preds, gt)
-        bps_n = jnp.where(jnp.isinf(bps_n), jnp.nan, bps_n)
-        # host path: per trial, R² of the (N, T) plane (samples=neurons,
-        # outputs=bins), then nanmean over trials
-        r2_t = jax.vmap(lambda g, p: jnp.mean(
-            r2_per_column(g.T, p.T)))(gt, preds)
-        return jnp.nanmean(bps_n), jnp.nanmean(r2_t)
-
     def _run_eval(self, loader, split_eids, phase: str) -> Optional[dict]:
         if loader is None or loader.num_trials == 0:
             return None
@@ -731,10 +713,8 @@ class BaseTrainer:
                        else jnp.concatenate(dev_outs, axis=0))
             gt_all = (dev_gts[0] if len(dev_gts) == 1
                       else jnp.concatenate(dev_gts, axis=0))
-            fn = getattr(self, "_light_metrics_fn", None)
-            if fn is None:
-                fn = self._light_metrics_fn = jax.jit(self._light_metrics)
-            bps, r2 = fn(out_all, gt_all)
+            from video_spike_tpu.ops.metrics import device_eval_metrics
+            bps, r2 = device_eval_metrics(out_all, gt_all)
             vals = np.asarray(jnp.stack(  # ONE sync for the whole eval
                 losses + [bps, r2]), dtype=np.float64)
             return {f"{phase}_res": {
