@@ -154,3 +154,28 @@ def test_probe_resume_reencodes_frozen_features(session_dir, tmp_path):
     for a, b in zip(jax.tree.leaves(t1.params["params"]["video_mae"]),
                     jax.tree.leaves(t2.params["params"]["video_mae"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_parallel_device_get_matches_plain():
+    """Chunked-parallel fetch must be bit-identical to jax.device_get on a
+    mixed tree (big bf16 leaf, small f32 leaf, python scalars)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from video_spike_tpu.train.checkpoint import parallel_device_get
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "big": jnp.asarray(rng.normal(size=(4096, 512))
+                           .astype(np.float32)).astype(jnp.bfloat16),
+        "odd": jnp.asarray(rng.normal(size=(1000, 37)).astype(np.float32)),
+        "small": jnp.arange(7, dtype=jnp.int32),
+        "epoch": 5,
+    }
+    got = parallel_device_get(tree, chunk_bytes=64 << 10, workers=4)
+    ref = jax.device_get(tree)
+    assert got["epoch"] == 5
+    for k in ("big", "odd", "small"):
+        assert got[k].dtype == ref[k].dtype
+        assert np.array_equal(np.asarray(got[k], np.float32),
+                              np.asarray(ref[k], np.float32)), k

@@ -809,13 +809,20 @@ class BaseTrainer:
                             "best_eval_bps": best_bps,
                             "best_epoch": best_epoch, "test_res": None}
         wait_for_checkpoints()   # don't race the in-flight best flush
-        if self._best_params is not None:
-            self.save_model("best", self._best_epoch)
-        self.save_model("last", num_epochs - 1)
+        # final saves run in the background, overlapped with the test eval
+        # (the full-tree fetch is ~16 s through this link even chunked —
+        # parallel_device_get). The redundant best re-save is skipped when
+        # the async cadence flush already wrote exactly the best epoch.
+        final_async = not self._multihost
+        if self._best_params is not None \
+                and self._last_best_flush != self._best_epoch:
+            self.save_model("best", self._best_epoch, block=not final_async)
+        self.save_model("last", num_epochs - 1, block=not final_async)
         self.log.info(f"trained {num_epochs} epochs in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps} @ epoch {best_epoch}")
 
         test_res = self.test_model()
+        wait_for_checkpoints()   # artifacts must exist before returning
         if test_res:
             if self._is_main:
                 self._plot_figs(test_res, test=True)
@@ -861,8 +868,9 @@ class BaseTrainer:
             tree["opt_state"] = self.opt_state
             tree["global_step"] = self._global_step
         if block:
+            from video_spike_tpu.train.checkpoint import parallel_device_get
             save_checkpoint(self.log_dir, f"model_{name}",
-                            jax.device_get(tree))
+                            parallel_device_get(tree))
         else:
             if name == "last":
                 # the live params/opt_state buffers are donated by the next

@@ -36,6 +36,56 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
     return str(path)
 
 
+def parallel_device_get(tree: Any, chunk_bytes: int = 32 << 20,
+                        workers: int = 16) -> Any:
+    """``jax.device_get`` with big leaves fetched as concurrent row chunks.
+
+    The axon tunnel's download path runs ~26-37 MB/s per stream but ~2x
+    that with ~16 concurrent slice fetches (measured on the 536 MB
+    staging array: 20.6 s single-stream vs 8.1-8.6 s at 16-64 chunks), so
+    a 1 GB checkpoint fetch drops from ~40 s to ~16 s. Leaves smaller than
+    ``chunk_bytes`` and single-process-unfriendly cases fall back to the
+    plain fetch. Single-host only — callers in multihost mode use
+    ``jax.device_get`` directly (slice fetches of globally sharded arrays
+    would gather cross-host).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    if jax.process_count() > 1:
+        return jax.device_get(tree)
+    leaves, treedef = jax.tree.flatten(tree)
+    jobs = []   # (leaf_idx, row_start, row_end) for chunked leaves
+    for i, leaf in enumerate(leaves):
+        nbytes = getattr(leaf, "nbytes", 0)
+        shape = getattr(leaf, "shape", ())
+        if nbytes < 2 * chunk_bytes or not shape or shape[0] < 2:
+            continue
+        rows_per = max(int(len(leaf) * chunk_bytes / nbytes), 1)
+        jobs.extend((i, s, min(s + rows_per, shape[0]))
+                    for s in range(0, shape[0], rows_per))
+    if not jobs:
+        return jax.device_get(tree)
+    chunked = {i for i, _, _ in jobs}
+    out = [None if i in chunked else leaf
+           for i, leaf in enumerate(leaves)]
+    for i in chunked:
+        out[i] = np.empty(leaves[i].shape, leaves[i].dtype)
+
+    def fetch(job):
+        i, s, e = job
+        out[i][s:e] = jax.device_get(leaves[i][s:e])
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(fetch, jobs))
+    rest = [leaf for i, leaf in enumerate(leaves) if i not in chunked]
+    rest_np = jax.device_get(rest)
+    it = iter(rest_np)
+    out = [o if i in chunked else next(it) for i, o in enumerate(out)]
+    return jax.tree.unflatten(treedef, out)
+
+
 _PENDING: dict = {}
 
 
@@ -60,7 +110,7 @@ def save_checkpoint_async(directory: str | Path, name: str,
         prev.join()
 
     def work():
-        save_checkpoint(directory, name, jax.device_get(tree))
+        save_checkpoint(directory, name, parallel_device_get(tree))
 
     t = threading.Thread(target=work, daemon=True, name=f"ckpt:{name}")
     _PENDING[key] = t

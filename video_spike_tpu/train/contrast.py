@@ -53,6 +53,7 @@ from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
+    parallel_device_get,
     save_checkpoint,
 )
 from video_spike_tpu.train.rrr_pipeline import train_rrr
@@ -272,8 +273,8 @@ class ContrastTrainer:
         optimizer state + step counter + running best."""
         try:
             save_checkpoint(self.log_dir, "last_model", {
-                "params": jax.device_get(self.params),
-                "opt_state": jax.device_get(self.opt_state),
+                "params": parallel_device_get(self.params),
+                "opt_state": parallel_device_get(self.opt_state),
                 "step": step, "best_bps": float(self._best_bps)})
         except Exception as e:
             self.log.error(f"Error saving last_model: {e}")
@@ -401,7 +402,7 @@ class ContrastTrainer:
             params = (self._best_params if name == "best_model"
                       and self._best_params is not None else self.params)
             save_checkpoint(self.log_dir, name,
-                            {"params": jax.device_get(params)})
+                            {"params": parallel_device_get(params)})
         except Exception as e:  # keep training on checkpoint failure
             self.log.error(f"Error saving the model: {e}")
 

@@ -34,6 +34,7 @@ from video_spike_tpu.train.base import make_optimizer
 from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
     load_checkpoint,
+    parallel_device_get,
     save_checkpoint,
     save_checkpoint_async,
     wait_for_checkpoints,
@@ -494,13 +495,22 @@ class MultiSessionTrainer:
                                         path=path)
                 plt.close(fig)
 
-    def _save_last(self, epoch: int) -> None:
-        """True-resume checkpoint: params + optimizer state + counters."""
-        save_checkpoint(self.log_dir, "model_last", {
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
-            "epoch": epoch, "global_step": self._gstep,
-            "best_bps": float(self._best_bps)})
+    def _save_last(self, epoch: int, block: bool = True) -> None:
+        """True-resume checkpoint: params + optimizer state + counters.
+        ``block=False`` (single-host, post-training only — the step loop
+        must not donate these buffers again) runs the fetch + write on a
+        background thread, overlapped with the test eval."""
+        if self._multihost or block:
+            save_checkpoint(self.log_dir, "model_last", {
+                "params": parallel_device_get(self.params),
+                "opt_state": parallel_device_get(self.opt_state),
+                "epoch": epoch, "global_step": self._gstep,
+                "best_bps": float(self._best_bps)})
+        else:
+            save_checkpoint_async(self.log_dir, "model_last", {
+                "params": self.params, "opt_state": self.opt_state,
+                "epoch": epoch, "global_step": self._gstep,
+                "best_bps": float(self._best_bps)})
 
     def resume(self, name: str = "last") -> bool:
         """Restore params + optimizer state + epoch from ``model_last``
@@ -535,7 +545,8 @@ class MultiSessionTrainer:
             # all-rank orbax barrier must stay in program order
             block = True
         if block:
-            save_checkpoint(self.log_dir, "model_best", jax.device_get(tree))
+            save_checkpoint(self.log_dir, "model_best",
+                            parallel_device_get(tree))
         else:
             save_checkpoint_async(self.log_dir, "model_best", tree)
 
@@ -579,9 +590,13 @@ class MultiSessionTrainer:
                                   f"model_last saved, resume with --resume")
                     return {"preempted": True, "epoch": epoch,
                             "best_eval_bps": self._best_bps, "test": None}
-            self._save_last(self.config.training.num_epochs - 1)
-        wait_for_checkpoints()   # don't race an in-flight best flush
-        self._flush_best()
+            # post-loop: fetch+write overlap the test eval below (the
+            # chunked full-tree fetch is still ~16 s on this link); the
+            # async queue serializes same-key saves, and the trainer waits
+            # before returning
+            self._save_last(self.config.training.num_epochs - 1,
+                            block=False)
+        self._flush_best(block=False)
         best_bps = self._best_bps
         self.log.info(f"trained in {time.time()-t0:.1f}s; "
                       f"best eval_bps={best_bps}")
@@ -593,6 +608,7 @@ class MultiSessionTrainer:
             self.params = mh.replicate_tree(restored["params"], self.repl)
         test = self._eval(self.test_loaders, "test",
                           return_outputs=want_figs)
+        wait_for_checkpoints()   # artifacts must exist before returning
         self._plot_figs(test, tag="test")
         if self._is_main:
             np.save(
