@@ -192,3 +192,32 @@ def test_validation_subsample_is_seeded(h5_path, tmp_path):
     b = run("seed_b")
     assert len(a) > 0
     assert a == b
+
+
+def test_rank_strided_sampler_partitions_epoch(h5_path):
+    """Multi-host sampler contract: ranks derive the SAME epoch permutation
+    (seeded by (seed, epoch), not the diverging per-rank rng), their strides
+    are disjoint, and the union covers every frame."""
+    from video_spike_tpu.data.contrast import ContrastDataset, load_h5_file
+
+    data = load_h5_file(h5_path, "shardeid0")["shardeid0"]
+    world = 3
+    shards = []
+    for rank in range(world):
+        ds = ContrastDataset(data, mode="pretrain", image_size=16,
+                             idx_offset=3, seed=9)
+        # desynchronize the per-rank rng the way real pos/neg draws would
+        for _ in range(rank * 7):
+            ds.rng.integers(0, 10)
+        rows = []
+        for b in ds.iter_batches(8, shuffle=True, rank=rank, world=world):
+            rows.append(b["ref"])
+        shards.append(np.concatenate(rows, axis=0))
+    n_total = sum(s.shape[0] for s in shards)
+    ds_full = ContrastDataset(data, mode="pretrain", image_size=16,
+                              idx_offset=3, seed=9)
+    assert n_total == len(ds_full)
+    # disjoint + covering: multiset of frames matches the full dataset
+    all_rows = np.concatenate(shards, axis=0).reshape(n_total, -1)
+    full = ds_full.video.reshape(len(ds_full), -1)
+    assert (np.sort(all_rows.sum(axis=1)) == np.sort(full.sum(axis=1))).all()

@@ -161,3 +161,72 @@ def test_two_process_multisession_trainer(tmp_path):
     run_dir = log_dir / "multi_dcnms_dcnms"
     assert (run_dir / "model_best").exists()
     assert (run_dir / "test_results.npy").exists()
+
+
+def test_two_process_ssl_trainer(tmp_path):
+    """The reference's ONLY multi-device path (DDP SSL pretrain,
+    /root/reference/src/pretrain.py:51-57) as a real 2-process run of
+    ContrastTrainer: rank-strided frame shards -> global triplet batches,
+    replicated transform/eval with all-gathered embeddings, identical
+    best-val_bps (= identical best-checkpoint choice) on every rank, and
+    rank-0 checkpoint artifacts."""
+    import json
+
+    import h5py
+    import numpy as np
+
+    eid = "sslshard00"
+    h5_path = tmp_path / "frames.h5"
+    rng = np.random.default_rng(5)
+    with h5py.File(h5_path, "w") as f:
+        grp = f.create_group(eid)
+        t0 = 0.0
+        for split, trials in {"train": 8, "val": 2, "test": 2}.items():
+            X = rng.integers(0, 255, (trials, 12, 1, 16, 16), dtype=np.uint8)
+            y = rng.poisson(1.0, (trials, 10, 5)).astype(np.float32)
+            ts = (t0 + np.arange(trials * 12) / 60.0).reshape(trials, 12)
+            t0 = ts[-1, -1] + 1.0
+            grp.create_dataset(f"X_{split}", data=X)
+            grp.create_dataset(f"y_{split}", data=y)
+            grp.create_dataset(f"timestamp_{split}", data=ts)
+    log_dir = tmp_path / "logs"
+
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update({
+        "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "DCN_SMOKE_FORCE_CPU": "1",
+        "DCN_MODE": "ssl",
+        "DCN_EID": eid,
+        "DCN_H5": str(h5_path),
+        "DCN_LOG_DIR": str(log_dir),
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": os.pathsep.join(
+            [os.getcwd(), env_base.get("PYTHONPATH", "")]),
+    })
+    procs = []
+    for pid in range(2):
+        env = dict(env_base)
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "video_spike_tpu.parallel.dcn_trainer_smoke"],
+            env=env, cwd=os.getcwd(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = []
+    for pid, out in enumerate(outs):
+        m = re.search(rf"pid={pid} result=(\{{.*\}})", out)
+        assert m, out
+        results.append(json.loads(m.group(1)))
+    # best-val_bps + transformed embeddings agree bit-for-bit across ranks
+    assert results[0] == results[1], results
+    assert results[0]["emb_rows"] == 8 * 12
+    run_dir = log_dir / eid / "ContrastViT" / "6"
+    assert (run_dir / "best_model").exists()
+    assert (run_dir / "last_model").exists()

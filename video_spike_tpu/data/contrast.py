@@ -56,7 +56,9 @@ class ContrastDataset:
         self.image_size = image_size
         self.idx_offset = idx_offset
         self.time_offset = time_offset
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._epoch = 0
 
         if mode == "pretrain":
             video = np.concatenate([data_dict["train_X"], data_dict["val_X"],
@@ -103,11 +105,27 @@ class ContrastDataset:
         return neg
 
     # -- batching ------------------------------------------------------------
-    def iter_batches(self, batch_size: int,
-                     shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_batches(self, batch_size: int, shuffle: bool = True,
+                     rank: int = 0,
+                     world: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        """``rank``/``world`` stride the shuffled frame order across
+        processes (the DDP DistributedSampler contract the reference's
+        ``accelerate launch`` relies on): every rank derives the SAME
+        permutation from (seed, epoch) — never from ``self.rng``, whose
+        state diverges per rank through the pos/neg draws — takes
+        ``order[rank::world]``, and still samples positives/negatives from
+        the FULL frame array, so temporal ±offset neighborhoods survive
+        sharding."""
         order = np.arange(len(self))
         if shuffle:
-            self.rng.shuffle(order)
+            if world > 1:
+                epoch_rng = np.random.default_rng((self.seed, self._epoch))
+                epoch_rng.shuffle(order)
+                self._epoch += 1
+            else:
+                self.rng.shuffle(order)
+        if world > 1:
+            order = order[rank::world]
         for s in range(0, len(order), batch_size):
             idx = order[s:s + batch_size]
             if self.mode == "pretrain":
@@ -138,6 +156,7 @@ def make_contrast_loader(dataset_path: str, mode: str = "pretrain",
             self.dataset = ds
             self.batch_size = batch_size  # live: the sharded SSL trainer
             # scales this to batch x data-axis (per-device batch semantics)
+            self.shuffle = shuffle  # read by the multi-host epoch sampler
 
         def __iter__(self):
             return dataset.iter_batches(self.batch_size, shuffle=shuffle)

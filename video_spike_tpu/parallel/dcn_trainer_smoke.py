@@ -48,10 +48,13 @@ def main() -> None:
     from video_spike_tpu.train.base import BaseTrainer
 
     pid = jax.process_index()
-    data_dir = os.environ["DCN_FIXTURE_DIR"]
     log_dir = os.environ["DCN_LOG_DIR"]
     eid = os.environ.get("DCN_EID", "dcntrain00")
 
+    if os.environ.get("DCN_MODE") == "ssl":
+        _ssl(jax, os.environ["DCN_H5"], log_dir, eid)
+        return
+    data_dir = os.environ["DCN_FIXTURE_DIR"]
     if os.environ.get("DCN_MODE") == "multisession":
         _multisession(jax, data_dir, log_dir, eid.split(","))
         return
@@ -110,6 +113,47 @@ def _multisession(jax, data_dir: str, log_dir: str, eids) -> None:
     res = trainer.train()
     print(f"pid={pid} result="
           f"{json.dumps({'best_eval_bps': res['best_eval_bps'], 'test_bps': res['test']['test_bps']})}",
+          flush=True)
+
+
+def _ssl(jax, h5_path: str, log_dir: str, eid: str) -> None:
+    """A real multi-process ``ContrastTrainer.fit()`` — the TPU-native
+    equivalent of the reference's only multi-device path (3-process DDP
+    pretrain, ``/root/reference/src/pretrain.py:51-57``): rank-strided frame
+    shards feed global triplet batches; the nested-RRR validation and the
+    best checkpoint must agree bit-for-bit on every rank."""
+    import json
+
+    import numpy as np
+
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.contrast import make_contrast_loader
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    pid = jax.process_index()
+    cfg = dict(image_size=16, patch_size=8, num_channels=1, hidden_size=32,
+               num_hidden_layers=1, num_attention_heads=4,
+               intermediate_size=64, decoder_hidden_size=32,
+               decoder_num_hidden_layers=1, decoder_num_attention_heads=4,
+               decoder_intermediate_size=64, mask_ratio=0.0,
+               norm_pix_loss=False, embed_size=3)
+    model = NAME2MODEL["ContrastViT"].from_config(cfg)
+    common = dict(eid=eid, idx_offset=3, image_size=16, seed=0)
+    dl, _ = make_contrast_loader(h5_path, mode="pretrain", batch_size=4,
+                                 **common)
+    train_dl, _ = make_contrast_loader(h5_path, mode="train", batch_size=4,
+                                       shuffle=False, **common)
+    val_dl, _ = make_contrast_loader(h5_path, mode="val", batch_size=4,
+                                     shuffle=False, **common)
+    trainer = ContrastTrainer(
+        model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+        train_data_loader=train_dl, max_steps=6, eid=eid,
+        log_dir=log_dir, image_size=16, seed=42, validate_every=3)
+    assert trainer._multihost, "expected a multi-process runtime"
+    best = trainer.fit()
+    emb = trainer.transform(train_dl)  # replicated-eval + all-gather path
+    print(f"pid={pid} result="
+          f"{json.dumps({'best_bps': round(float(best), 8), 'emb_sum': round(float(np.abs(emb).sum()), 4), 'emb_rows': int(emb.shape[0])})}",
           flush=True)
 
 

@@ -29,6 +29,15 @@ need — over ICI, and the learning rate is scaled by the data-axis size
 row count does not divide the data axis is truncated rather than padded:
 padding rows would contaminate the (n, n) InfoNCE negative matrix, while
 dropping < n_data trailing frames per epoch is loss-exact.
+
+Multi-host: every process runs this same program over the global mesh; each
+rank walks its stride of the epoch-seeded shuffled frame order (the DDP
+sampler contract) and contributes its rows to the global triplet with
+:func:`jax.make_array_from_process_local_data`; drop-last + a global
+step-count agreement keep the collective step in lockstep; transform/eval
+loaders stay replicated and the embeddings are all-gathered so the nested
+RRR validation — and with it the best-checkpoint choice — agrees bit-for-bit
+on every rank (exercised by ``tests/test_multiprocess_dcn.py``).
 """
 
 from __future__ import annotations
@@ -49,6 +58,7 @@ from video_spike_tpu.core.logging import logging as make_logger
 from video_spike_tpu.data.contrast import device_frame_transform
 from video_spike_tpu.data.prefetch import background
 from video_spike_tpu.ops.contrastive import loss_fn_
+from video_spike_tpu.parallel import multihost as mh
 from video_spike_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from video_spike_tpu.train.checkpoint import (
     checkpoint_exists,
@@ -91,7 +101,18 @@ class ContrastTrainer:
         self.mesh = mesh
         self.batch_shd = batch_sharding(self.mesh)
         self.repl = replicated(self.mesh)
+        # contrast triplets travel as one stacked (3, B, C, H, W) array so a
+        # multi-host global assembly keeps the [all-ref | all-pos | all-neg]
+        # row layout after the in-step reshape to (3B, ...)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.trip_shd = NamedSharding(self.mesh, P(None, "data"))
+        self._multihost = mh.is_multihost()
+        self._is_main = jax.process_index() == 0
         n_data = self.mesh.shape["data"]
+        if self._multihost:
+            assert n_data % jax.process_count() == 0, (
+                f"data axis {n_data} must divide process count "
+                f"{jax.process_count()}")
         # the reference's DDP scaling rules (/root/reference/src/
         # pretrain.py:120-124): each of world_size processes pulls its own
         # batch (global batch scales with world) and lr scales by world_size
@@ -100,16 +121,22 @@ class ContrastTrainer:
             lr = lr * n_data
             self.log.info(f"data axis {n_data}: lr {opt.get('lr', 1e-4)} -> "
                           f"{lr} (reference lr x world_size rule)")
-        if (n_data > 1 and opt.get("scale_batch_by_data", True)
+        # per-process loaders scale by the LOCAL device share only: in
+        # multihost the global batch is local_batch x process_count (the
+        # reference's batch-128-per-DDP-rank semantics), so per-device batch
+        # stays constant either way
+        n_scale = (n_data // jax.process_count() if self._multihost
+                   else n_data)
+        if (n_scale > 1 and opt.get("scale_batch_by_data", True)
                 and hasattr(data_loader, "batch_size")
                 # idempotency guard: scaling is a trainer policy applied to
                 # a shared object — a second trainer over the same loader
                 # (retry/resume wrapper) must not scale it again
                 and not getattr(data_loader, "_vstpu_batch_scaled", False)):
-            data_loader.batch_size = data_loader.batch_size * n_data
+            data_loader.batch_size = data_loader.batch_size * n_scale
             data_loader._vstpu_batch_scaled = True
-            self.log.info(f"global batch = {data_loader.batch_size} "
-                          f"({n_data} x per-device)")
+            self.log.info(f"local batch = {data_loader.batch_size} "
+                          f"({n_scale} x per-device)")
         self.lr = lr
         self.tx = optax.adamw(lr, weight_decay=opt.get("wd", 0.01),
                               eps=opt.get("eps", 1e-8))
@@ -142,15 +169,20 @@ class ContrastTrainer:
         self._step_count += 1
         return jax.random.fold_in(self._key, self._step_count)
 
+    def _replicate(self, tree):
+        """Host tree -> replicated device arrays (multi-host safe:
+        ``jax.device_put`` cannot target another host's devices)."""
+        return (mh.replicate_tree(tree, self.repl) if self._multihost
+                else jax.device_put(tree, self.repl))
+
     def _init_if_needed(self, frames: np.ndarray) -> None:
         if self.params is None:
             x = device_frame_transform(jnp.asarray(frames[:1]),
                                        self.image_size)
             params = self.model.init(
                 {"params": self._key, "masking": self._key}, x)
-            self.params = jax.device_put(params, self.repl)
-            self.opt_state = jax.device_put(self.tx.init(self.params),
-                                            self.repl)
+            self.params = self._replicate(params)
+            self.opt_state = self._replicate(self.tx.init(params))
             n = sum(int(np.prod(p.shape))
                     for p in jax.tree.leaves(self.params))
             self.log.info(f"{self.model_name}: {n/1e6:.1f}M params, "
@@ -164,11 +196,16 @@ class ContrastTrainer:
 
         def train_step(params, opt_state, triplet, key):
             def loss_fn(p):
-                x = device_frame_transform(triplet, image_size)
                 if is_mae:
+                    x = device_frame_transform(triplet, image_size)
                     out = model.apply(p, x, rngs={"masking": key})
                     return criterion(out, None, None)["loss"], {}
-                b = x.shape[0] // 3
+                # (3, B, C, H, W) -> (3B, C, H, W): one large MXU batch with
+                # the [all-ref | all-pos | all-neg] row layout (row-major
+                # reshape), regardless of how hosts contributed the rows
+                b = triplet.shape[1]
+                x = device_frame_transform(
+                    triplet.reshape((-1,) + triplet.shape[2:]), image_size)
                 out = model.apply(p, x, rngs={"masking": key})
                 ref, pos, neg = (jax.tree.map(lambda v: v[i * b:(i + 1) * b]
                                               if v.ndim > 0 else v, out)
@@ -192,10 +229,12 @@ class ContrastTrainer:
 
     # ------------------------------------------------------------------
     def _truncate_rows(self, n: int) -> int:
-        """Largest row count <= n that divides the mesh data axis (0 skips
-        the batch; see the module docstring for why SSL truncates instead
-        of padding)."""
+        """Largest row count <= n that divides this host's share of the
+        mesh data axis (0 skips the batch; see the module docstring for why
+        SSL truncates instead of padding)."""
         n_data = self.mesh.shape["data"]
+        if self._multihost:
+            n_data //= jax.process_count()
         return n - (n % n_data)
 
     def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Optional[Dict]:
@@ -205,16 +244,56 @@ class ContrastTrainer:
             return None
         if self.model_name == "MAE":
             trip = np.asarray(batch["ref"])[:b]
+            shd = self.batch_shd
         else:
-            trip = np.concatenate([batch["ref"][:b], batch["pos"][:b],
-                                   batch["neg"][:b]], axis=0)
+            trip = np.stack([np.asarray(batch["ref"])[:b],
+                             np.asarray(batch["pos"])[:b],
+                             np.asarray(batch["neg"])[:b]])
+            shd = self.trip_shd
+        if self._multihost:
+            # every host contributes its b local rows to the global batch
+            trip_dev, = mh.local_rows_to_global(shd, trip)
+        else:
+            trip_dev = jax.device_put(trip, shd)
         self.params, self.opt_state, loss, aux = self._train_step(
-            self.params, self.opt_state,
-            jax.device_put(trip, self.batch_shd), self._next_key())
+            self.params, self.opt_state, trip_dev, self._next_key())
         # keep device scalars: a device_get here costs a ~100 ms tunnel
         # round-trip per step (the step itself is ~16 ms); fit() converts
         # lazily at the logging cadence
         return {"cur_step": cur_step, "loss": loss, **aux}
+
+    def _epoch_batches(self):
+        """One pass over the pretrain loader. Single-process: the loader's
+        own iterator. Multi-process: every rank walks its stride of the
+        epoch-seeded shuffled frame order (the DDP sampler contract behind
+        the reference's ``accelerate launch``) with drop-last plus a global
+        agreement on the step count — each train step is a collective over
+        the global mesh, so all ranks must dispatch exactly the same number
+        of batches or the stragglers deadlock."""
+        if not self._multihost:
+            return iter(self.data_loader)
+        rank, world = jax.process_index(), jax.process_count()
+        ds = self.data_loader.dataset
+        bs = self.data_loader.batch_size
+        shuffle = getattr(self.data_loader, "shuffle", True)
+        local_n = (len(ds) - rank + world - 1) // world
+        steps = mh.global_min(local_n // bs)
+        if steps == 0:
+            raise ValueError(
+                f"local frame shard ({local_n}) smaller than the local "
+                f"batch size ({bs}); shrink the batch or the process count")
+
+        def gen():
+            done = 0
+            for b in ds.iter_batches(bs, shuffle=shuffle, rank=rank,
+                                     world=world):
+                if done >= steps:
+                    break
+                if np.asarray(b["ref"]).shape[0] < bs:
+                    continue  # ragged tail (drop-last semantics)
+                done += 1
+                yield b
+        return gen()
 
     def fit(self) -> float:
         from video_spike_tpu.core.preempt import graceful_stop
@@ -224,9 +303,10 @@ class ContrastTrainer:
         best_bps = self._best_bps
         start = time.time()
         last_validation = current_step
+        stop = False
         with graceful_stop(self.log) as preempted:
-            while current_step < self.max_steps and not preempted:
-                for batch in background(iter(self.data_loader), depth=2):
+            while current_step < self.max_steps and not stop:
+                for batch in background(self._epoch_batches(), depth=2):
                     logs = self._step(batch, current_step)
                     if logs is None:   # short batch truncated to zero rows
                         continue
@@ -235,10 +315,19 @@ class ContrastTrainer:
                                 for k, v in logs.items()}
                         self.tracker.log(logs, step=current_step)
                         self.log.info(f"{logs}")
+                        if self._multihost and mh.global_any(bool(preempted)):
+                            stop = True  # globally agreed mid-pass stop
                     current_step += 1
-                    if current_step >= self.max_steps or preempted:
+                    if current_step >= self.max_steps or stop:
                         break
-                if preempted:
+                    if not self._multihost and preempted:
+                        break
+                # pass boundary: every rank reaches here at the same
+                # current_step; agree on preemption before anyone diverges
+                # toward the collective validation or the orbax save barrier
+                stop = stop or (mh.global_any(bool(preempted))
+                                if self._multihost else bool(preempted))
+                if stop:
                     # skip the (slow) nested-RRR validation inside the
                     # cluster's grace window; the last validated best is
                     # what gets persisted below
@@ -257,7 +346,7 @@ class ContrastTrainer:
                     # on-device stash; the disk write (a ~20 s device_get for
                     # ViT-Base through the host link) happens once after fit
                     self._best_params = jax.tree.map(jnp.copy, self.params)
-            if preempted:
+            if stop:
                 self.log.info(f"preempted at step {current_step}: saving "
                               f"best_model + last_model before exit")
         self._best_bps = best_bps
@@ -291,8 +380,8 @@ class ContrastTrainer:
             self.log_dir, name,
             {"params": self.params, "opt_state": self.opt_state,
              "step": 0, "best_bps": 0.0})
-        self.params = jax.device_put(restored["params"], self.repl)
-        self.opt_state = jax.device_put(restored["opt_state"], self.repl)
+        self.params = self._replicate(restored["params"])
+        self.opt_state = self._replicate(restored["opt_state"])
         self._start_step = int(restored["step"])
         self._step_count = self._start_step
         self._best_bps = float(restored["best_bps"])
@@ -341,7 +430,15 @@ class ContrastTrainer:
         if pad:
             ref = np.concatenate([ref, np.repeat(ref[-1:], pad, 0)], axis=0)
         neural = np.asarray(batch["neural"]) if "neural" in batch else None
-        return jax.device_put(ref, self.batch_shd), n_valid, neural
+        if self._multihost:
+            # transform loaders are replicated on every host (like the
+            # supervised trainers' eval loaders): identical rows -> one
+            # globally data-sharded batch
+            from jax.sharding import PartitionSpec as P
+            ref_dev, = mh.replicated_rows_to_global(self.mesh, P("data"), ref)
+        else:
+            ref_dev = jax.device_put(ref, self.batch_shd)
+        return ref_dev, n_valid, neural
 
     def _transform_batches(self, data_loader):
         """Stage a transform loader's frames (uint8) on device once: the
@@ -387,7 +484,11 @@ class ContrastTrainer:
             outs.append((out["z"], n_valid))  # fetched after all dispatches
             if neural is not None:
                 neurals.append(neural)
-        feats = [np.asarray(z)[:n] for z, n in outs]
+        # gather_rows is a plain np.asarray single-process; in multihost it
+        # all-gathers the data-sharded embeddings so every rank holds the
+        # full features (the nested-RRR validation is a host-side fit that
+        # must agree on every rank)
+        feats = [mh.gather_rows(z)[:n] for z, n in outs]
         feats = np.concatenate(feats, axis=0)
         if return_neural:
             neurals = np.concatenate(neurals, axis=0)
@@ -413,7 +514,7 @@ class ContrastTrainer:
             return False
         target = {"params": self.params} if self.params is not None else None
         restored = load_checkpoint(self.log_dir, name, target)
-        self.params = jax.device_put(restored["params"], self.repl)
+        self.params = self._replicate(restored["params"])
         if self.opt_state is None:
             self.opt_state = self.tx.init(self.params)
         return True
