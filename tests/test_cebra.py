@@ -32,18 +32,24 @@ def test_cebra_fit_transform_shapes():
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4)
 
 
-def test_cebra_loss_decreases():
+@pytest.fixture(scope="module")
+def fitted_cebra():
+    """One 600-iteration fit shared by the convergence + structure tests
+    (identical hyperparameters; fitting twice cost the suite ~40 s)."""
     X, _ = _latent_series()
     model = CEBRA(output_dimension=3, max_iterations=600, batch_size=128)
     model.fit(X)
+    return model, X
+
+
+def test_cebra_loss_decreases(fitted_cebra):
+    model, _ = fitted_cebra
     assert model.losses_[-1] < model.losses_[0] - 0.1, model.losses_
 
 
-def test_cebra_temporal_structure():
+def test_cebra_temporal_structure(fitted_cebra):
     """Neighboring frames should be closer in embedding space than random."""
-    X, _ = _latent_series()
-    model = CEBRA(output_dimension=3, max_iterations=600, batch_size=128)
-    model.fit(X)
+    model, X = fitted_cebra
     emb = model.transform(X)
     d_neighbor = np.linalg.norm(emb[1:] - emb[:-1], axis=1).mean()
     rng = np.random.default_rng(0)

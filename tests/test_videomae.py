@@ -148,10 +148,10 @@ def test_pretrain_to_probe_graft_beats_random(rng):
         updates, opt_state = tx.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # 36 steps is enough signal for the graft-beats-random assertion below
+    # 24 steps is enough signal for the graft-beats-random assertion below
     # (100 steps cost this test 114 s of the suite's round-2 budget)
     losses = []
-    for i in range(36):
+    for i in range(24):
         idx = (np.arange(16) + 16 * i) % K
         params, opt_state, loss = step(params, opt_state, clip[idx],
                                        jax.random.PRNGKey(100 + i))

@@ -108,7 +108,10 @@ def _multisession(jax, data_dir: str, log_dir: str, eids) -> None:
         "n_sessions": len(eids), "max_neurons": trainer.max_neurons,
         "t_frames": 120, "t_bins": 100, "patch_size": 16,
         "hidden_size": 32, "frame_depth": 1, "temporal_depth": 1,
-        "num_attention_heads": 2, "intermediate_size": 64})
+        "num_attention_heads": 2, "intermediate_size": 64,
+        # the smoke checks cross-process metric equality, not quality;
+        # encoding 30 of 120 frames quarters the dominant CPU cost
+        "frame_stride": 4})
     assert trainer._multihost, "expected a multi-process runtime"
     res = trainer.train()
     print(f"pid={pid} result="
