@@ -98,10 +98,15 @@ def main(argv=None, h5_path: str | None = None):
     out = {args.eid: {"X": [train_emb, test_emb],
                       "y": [train_neural, test_neural],
                       "setup": {}}}
-    os.makedirs("data", exist_ok=True)
     path = f"data/data_rrr_{args.model}_{args.eid[:5]}.npy"
-    np.save(path, out)
-    log.info(f"saved {path}")
+    # the transform above is collective (every rank embeds over the global
+    # mesh), but the artifact write is rank-0-only — concurrent writers
+    # to one .npy corrupt it (reference gating: src/pretrain.py:170-208)
+    import jax
+    if jax.process_index() == 0:
+        os.makedirs("data", exist_ok=True)
+        np.save(path, out)
+        log.info(f"saved {path}")
     return path
 
 

@@ -76,6 +76,7 @@ class VideoMAEBackbone(nn.Module):
     # interleaved sinusoid table and no final layernorm (HF
     # ``VideoMAEModel`` with ``use_mean_pooling=True``, the MCG-NJU config)
     hf_compat: bool = False
+    remat: bool = False  # see vit_mae.Encoder.remat
 
     @property
     def seq_len(self) -> int:
@@ -95,7 +96,7 @@ class VideoMAEBackbone(nn.Module):
                     self.dtype, final_norm=not self.hf_compat,
                     gelu_approx=not self.hf_compat,  # HF "gelu" = exact erf
                     ln_dtype=jnp.float32 if self.hf_compat else None,
-                    name="encoder")(x)
+                    remat=self.remat, name="encoder")(x)
         return x  # (B, L, D) last hidden state
 
 
@@ -135,6 +136,7 @@ class VideoMAEForPreTraining(nn.Module):
         enc = Encoder(cfg.get("num_hidden_layers", 12), hidden,
                       cfg.get("num_attention_heads", 12),
                       cfg.get("intermediate_size", 3072),
+                      remat=bool(cfg.get("remat", False)),
                       name="encoder")(visible)
 
         # decoder over the full restored sequence
@@ -152,7 +154,9 @@ class VideoMAEForPreTraining(nn.Module):
         x_full = x_full + dec_pos[None].astype(x_full.dtype)
         dec = Encoder(self.decoder_num_hidden_layers, dec_dim,
                       self.decoder_num_attention_heads,
-                      self.decoder_intermediate_size, name="decoder")(x_full)
+                      self.decoder_intermediate_size,
+                      remat=bool(cfg.get("remat", False)),
+                      name="decoder")(x_full)
         pred = nn.Dense(tub * p * p * c, dtype=jnp.float32,
                         name="decoder_pred")(dec)
 
@@ -229,7 +233,8 @@ class VideoMAEProbe(nn.Module):
             # weights (reference freezes MCG-NJU/videomae-base,
             # /root/reference/src/model/videomae.py:8); set False when
             # grafting a backbone pretrained by this framework
-            hf_compat=cfg.get("hf_compat", True))
+            hf_compat=cfg.get("hf_compat", True),
+            remat=bool(cfg.get("remat", False)))
         self.encoder_head = nn.Dense(cfg["encoder"]["output_dim"])
         self.decoder_head = nn.Dense(cfg["decoder"]["output_dim"])
 

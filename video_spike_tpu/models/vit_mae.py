@@ -184,13 +184,22 @@ class Encoder(nn.Module):
     final_norm: bool = True  # HF VideoMAEModel(use_mean_pooling) omits it
     gelu_approx: bool = True  # see Block
     ln_dtype: Any = None      # see Block; weight-import paths pin f32
+    # rematerialize block activations in the backward pass (jax.checkpoint):
+    # trades ~one extra forward of FLOPs for O(depth) less activation HBM —
+    # the standard TPU lever for batch/model sizes past the recipe shapes.
+    # Parameter trees and numerics are identical either way (tested), so
+    # checkpoints are interchangeable across the setting.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for _ in range(self.depth):
-            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      self.eps, gelu_approx=self.gelu_approx,
-                      ln_dtype=self.ln_dtype)(x)
+        # explicit names keep the parameter tree identical to the
+        # auto-named plain path (nn.remat would auto-name CheckpointBlock_i)
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            x = block_cls(self.hidden, self.heads, self.mlp_dim, self.dtype,
+                          self.eps, gelu_approx=self.gelu_approx,
+                          ln_dtype=self.ln_dtype, name=f"Block_{i}")(x)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
         return x
@@ -218,6 +227,7 @@ class ViTMAEBackbone(nn.Module):
     norm_pix_loss: bool = False
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # see Encoder.remat
 
     @property
     def grid(self) -> int:
@@ -235,7 +245,8 @@ class ViTMAEBackbone(nn.Module):
         self.encoder = Encoder(self.num_hidden_layers, self.hidden_size,
                                self.num_attention_heads,
                                self.intermediate_size, self.dtype,
-                               self.layer_norm_eps, name="encoder")
+                               self.layer_norm_eps, remat=self.remat,
+                               name="encoder")
         # decoder
         self.decoder_embed = nn.Dense(self.decoder_hidden_size,
                                       dtype=self.dtype, name="decoder_embed")
@@ -248,7 +259,8 @@ class ViTMAEBackbone(nn.Module):
                                self.decoder_hidden_size,
                                self.decoder_num_attention_heads,
                                self.decoder_intermediate_size, self.dtype,
-                               self.layer_norm_eps, name="decoder")
+                               self.layer_norm_eps, remat=self.remat,
+                               name="decoder")
         self.decoder_pred = nn.Dense(
             self.patch_size ** 2 * self.num_channels, dtype=jnp.float32,
             name="decoder_pred")
@@ -316,7 +328,7 @@ def _backbone_kwargs(config) -> dict:
             "num_hidden_layers", "num_attention_heads", "intermediate_size",
             "decoder_hidden_size", "decoder_num_hidden_layers",
             "decoder_num_attention_heads", "decoder_intermediate_size",
-            "mask_ratio", "norm_pix_loss", "layer_norm_eps")
+            "mask_ratio", "norm_pix_loss", "layer_norm_eps", "remat")
     return {k: config[k] for k in keys if k in config}
 
 

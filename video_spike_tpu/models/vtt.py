@@ -62,6 +62,7 @@ class FrameEncoder(nn.Module):
     heads: int = 4
     mlp_dim: int = 512
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # see vit_mae.Encoder.remat
 
     @nn.compact
     def __call__(self, frames):
@@ -75,8 +76,10 @@ class FrameEncoder(nn.Module):
         grid = int(np.sqrt(h * w))
         pos = sincos_pos_embed_2d(self.hidden, grid, cls_token=False)
         x = x + jnp.asarray(pos)[None].astype(x.dtype)
-        for _ in range(self.depth):
-            x = Block(self.hidden, self.heads, self.mlp_dim, self.dtype)(x)
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            x = block_cls(self.hidden, self.heads, self.mlp_dim,
+                          self.dtype, name=f"Block_{i}")(x)
         x = nn.LayerNorm(dtype=jnp.float32)(x)
         return jnp.mean(x, axis=1)  # (N, D)
 
@@ -103,6 +106,7 @@ class VideoTemporalTransformer(nn.Module):
     # /root/reference/src/model/videomae.py:10-11). Measured speed/quality
     # trade in BASELINE.md ("frame-stride" section).
     frame_stride: int = 1
+    remat: bool = False  # see vit_mae.Encoder.remat
 
     @classmethod
     def from_config(cls, config) -> "VideoTemporalTransformer":
@@ -118,6 +122,7 @@ class VideoTemporalTransformer(nn.Module):
             heads=config.get("num_attention_heads", 4),
             mlp_dim=config.get("intermediate_size", 512),
             frame_stride=config.get("frame_stride", 1),
+            remat=bool(config.get("remat", False)),
         )
 
     @nn.compact
@@ -130,14 +135,15 @@ class VideoTemporalTransformer(nn.Module):
         frames = x.reshape(B * T, *x.shape[2:])
         emb = FrameEncoder(self.patch_size, self.hidden, self.frame_depth,
                            self.heads, self.mlp_dim, self.dtype,
-                           name="frame_encoder")(frames)
+                           remat=self.remat, name="frame_encoder")(frames)
         h = emb.reshape(B, T, self.hidden)
 
         pos = sincos_pos_embed_1d(self.hidden, T)
         h = h + jnp.asarray(pos)[None].astype(h.dtype)
-        for _ in range(self.temporal_depth):
-            h = Block(self.hidden, self.heads, self.mlp_dim, self.dtype,
-                      name=None)(h)
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.temporal_depth):
+            h = block_cls(self.hidden, self.heads, self.mlp_dim, self.dtype,
+                          name=f"Block_{i}")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="temporal_norm")(h)
 
         # learned time resampling (encoded frames -> spike bins); T already
