@@ -78,6 +78,17 @@ def test_create_and_train_rrr_cli(fixture_dir, tmp_path, monkeypatch):
     # smoothed low-rate fixture: co-bps should be finite and clearly > -1
     assert np.isfinite(np.nanmean(res["co_bps"]))
     assert np.nanmean(res["co_bps"]) > -1.0
+
+    # the reference-parity optimizer stays reachable from the CLI
+    lb = rrr_main([
+        "--solver", "lbfgs",
+        "--model_config", str(_repo("configs/model/linear_me.yaml")),
+        "--train_config", str(_repo("configs/train/rrr.yaml")),
+        "--input_mod", "all",
+    ])["feedc0000"]
+    assert np.isfinite(np.nanmean(lb["co_bps"]))
+    # same objective, same data: the two solvers land close together
+    assert abs(np.nanmean(lb["co_bps"]) - np.nanmean(res["co_bps"])) < 0.2
     assert res["pred"].min() >= 1e-3
 
 

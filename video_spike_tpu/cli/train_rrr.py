@@ -116,12 +116,12 @@ def preprocess(train_data: dict, input_mod_short: str, seed_subsample=None):
 
 def fit_and_eval(train_data: dict, ground_truth: dict, eids,
                  l2: float = 100.0, n_comp: int = 3,
-                 max_iter: int = 120) -> dict:
+                 max_iter: int = 120, solver: str = "als") -> dict:
     result, test_bps = {}, []
     for eid in eids:
         model, _ = train_model_main(
             train_data={eid: train_data[eid]}, l2=l2, n_comp=n_comp,
-            model_fname="tmp", save=False, max_iter=max_iter)
+            model_fname="tmp", save=False, max_iter=max_iter, solver=solver)
         _, _, pred = model.predict_y_fr(train_data, eid, 1)
         pred = np.clip(np.asarray(pred, dtype=np.float64), 1e-3, None)
         gt = ground_truth[eid]
@@ -145,9 +145,17 @@ def fit_and_eval(train_data: dict, ground_truth: dict, eids,
 
 
 def main(argv=None):
+    import argparse
+
     from video_spike_tpu.core.runtime import setup_runtime
     setup_runtime()
-    args = get_args(argv)
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--solver", choices=("als", "lbfgs"), default="als",
+                        help="RRR solver: closed-form ALS (production; same "
+                             "objective, ~35x faster) or the "
+                             "reference-parity LBFGS loop")
+    extra, rest = parser.parse_known_args(argv)
+    args = get_args(rest)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
     config = update_config(args.train_config, config)
     # argparse values merge LAST, as in the reference (src/train.py:28-30),
@@ -156,7 +164,8 @@ def main(argv=None):
     set_seed(config.seed)
     train_data = load_feature_data(args.input_mod)
     ground_truth, eids = preprocess(train_data, args.input_mod)
-    result = fit_and_eval(train_data, ground_truth, eids)
+    result = fit_and_eval(train_data, ground_truth, eids,
+                          solver=extra.solver)
     out = f"{args.input_mod}_result.npy"
     np.save(out, result)
     # per-eid copies for plot_scatter's <eid5>_<mod>_result.npy convention
