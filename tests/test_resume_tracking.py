@@ -103,6 +103,74 @@ def test_async_checkpoint_roundtrip(tmp_path):
                                   np.arange(8, dtype=np.float32) * 2)
 
 
+def test_checkpoint_save_heals_stale_tmp_and_serializes(tmp_path):
+    """Regression for a flaky full-suite failure: overlapping orbax saves
+    to one path collide on the `<name>.orbax-checkpoint-tmp` mkdir and the
+    artifact is never written. save_checkpoint must (a) heal a stale tmp
+    dir left by a crashed earlier save, and (b) serialize concurrent saves
+    to the same path via the per-path lock."""
+    import threading
+
+    import jax.numpy as jnp
+    from video_spike_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    # (a) a crashed save's leftover tmp dir must not poison the next save
+    stale = tmp_path / "model_best.orbax-checkpoint-tmp"
+    stale.mkdir()
+    (stale / "junk").write_text("partial write")
+    save_checkpoint(tmp_path, "model_best",
+                    {"params": {"w": jnp.ones(4)}, "epoch": 7})
+    assert not stale.exists()
+    assert int(load_checkpoint(tmp_path, "model_best")["epoch"]) == 7
+
+    # (b) hammer the same path from threads: with the per-path lock every
+    # save completes and the artifact is one of the writers' trees
+    errs = []
+
+    def writer(epoch):
+        try:
+            save_checkpoint(tmp_path, "model_best",
+                            {"params": {"w": jnp.ones(4) * epoch},
+                             "epoch": epoch})
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    restored = load_checkpoint(tmp_path, "model_best")
+    assert int(restored["epoch"]) in range(4)
+
+
+def test_async_checkpoint_failure_raises_at_wait(tmp_path):
+    """A background save that dies must surface at wait_for_checkpoints —
+    not silently leave the artifact missing (the trainer is about to rely
+    on it existing)."""
+    import pytest
+    from video_spike_tpu.train import checkpoint as ck
+
+    class Boom:
+        """Pytree leaf whose device_get explodes."""
+
+    def bad_get(tree, **kw):
+        raise OSError("tunnel dropped")
+
+    orig = ck.parallel_device_get
+    ck.parallel_device_get = bad_get
+    try:
+        ck.save_checkpoint_async(tmp_path, "model_best", {"epoch": 1})
+        with pytest.raises(RuntimeError, match="background checkpoint"):
+            ck.wait_for_checkpoints()
+    finally:
+        ck.parallel_device_get = orig
+    # the error queue is drained: a later wait is clean
+    ck.wait_for_checkpoints()
+
+
 def test_probe_resume_reencodes_frozen_features(session_dir, tmp_path):
     """Frozen-probe resume: the restored backbone must reproduce the same
     cached features the first run trained on (the optimizer mask makes the

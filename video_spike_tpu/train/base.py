@@ -798,7 +798,7 @@ class BaseTrainer:
                 if mh.global_any(bool(preempted)):
                     # cluster TERM (or Ctrl-C): persist the true-resume
                     # checkpoint and stop cleanly; --resume picks up here
-                    wait_for_checkpoints()
+                    wait_for_checkpoints(raise_errors=False)
                     self.save_model("last", epoch)
                     if self._best_params is not None:
                         self.save_model("best", self._best_epoch)

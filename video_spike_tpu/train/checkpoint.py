@@ -9,11 +9,27 @@ the ``model_best`` / ``model_last`` contract.
 
 from __future__ import annotations
 
+import threading
+from collections import defaultdict
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+# One lock per resolved checkpoint path: serializes every save to that path
+# regardless of which thread (trainer main loop, async flush daemon) issues
+# it. Orbax's tmp-dir protocol (`<name>.orbax-checkpoint-tmp*` created, then
+# renamed over the final dir) is not safe under overlap — a second writer
+# hits FileExistsError on the tmp mkdir and the artifact is never written
+# (seen as a flaky full-suite failure under CPU load).
+_PATH_LOCKS: dict = defaultdict(threading.Lock)
+_PATH_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: Path) -> threading.Lock:
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS[str(path)]
 
 
 def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
@@ -24,15 +40,23 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
     primary clears the previous copy; a pre-save barrier keeps the others
     from racing into orbax while the directory is being removed."""
     path = (Path(directory) / name).resolve()
-    ckptr = ocp.StandardCheckpointer()
-    if jax.process_index() == 0 and path.exists():
-        import shutil
-        shutil.rmtree(path)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices(f"pre_save:{path}")
-    ckptr.save(path, tree)
-    ckptr.wait_until_finished()
+    with _path_lock(path):
+        ckptr = ocp.StandardCheckpointer()
+        if jax.process_index() == 0:
+            import shutil
+            if path.exists():
+                shutil.rmtree(path)
+            # heal leftovers of a crashed/killed earlier save — orbax
+            # refuses to reuse an existing tmp dir (safe here: any live
+            # same-path save holds this lock)
+            for stale in path.parent.glob(path.name
+                                          + ".orbax-checkpoint-tmp*"):
+                shutil.rmtree(stale, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"pre_save:{path}")
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
     return str(path)
 
 
@@ -87,6 +111,7 @@ def parallel_device_get(tree: Any, chunk_bytes: int = 32 << 20,
 
 
 _PENDING: dict = {}
+_ASYNC_ERRORS: list = []
 
 
 def save_checkpoint_async(directory: str | Path, name: str,
@@ -100,28 +125,44 @@ def save_checkpoint_async(directory: str | Path, name: str,
     copy); the fetch AND the orbax write run on a background thread while
     training continues. A second save to the same path joins the first;
     call :func:`wait_for_checkpoints` before reading the artifact or
-    exiting.
+    exiting — it re-raises the first failure from any background save, so
+    a died flush can't silently leave the artifact missing.
     """
-    import threading
-
     key = str((Path(directory) / name).resolve())
     prev = _PENDING.get(key)
     if prev is not None:
         prev.join()
 
     def work():
-        save_checkpoint(directory, name, parallel_device_get(tree))
+        try:
+            save_checkpoint(directory, name, parallel_device_get(tree))
+        except BaseException as e:  # noqa: BLE001 — surfaced at the join
+            _ASYNC_ERRORS.append(e)
 
     t = threading.Thread(target=work, daemon=True, name=f"ckpt:{name}")
     _PENDING[key] = t
     t.start()
 
 
-def wait_for_checkpoints() -> None:
-    """Join every in-flight async save (call before exit / artifact use)."""
+def wait_for_checkpoints(raise_errors: bool = True) -> None:
+    """Join every in-flight async save (call before exit / artifact use).
+
+    Raises the first error any background save hit — the caller is about
+    to rely on the artifact existing. Preemption paths pass
+    ``raise_errors=False`` (warn instead): their job is to get model_last
+    written inside the cluster grace window, and a died best-flush must
+    not abort that."""
     for t in list(_PENDING.values()):
         t.join()
     _PENDING.clear()
+    if _ASYNC_ERRORS:
+        err = _ASYNC_ERRORS[0]
+        _ASYNC_ERRORS.clear()
+        if raise_errors:
+            raise RuntimeError("background checkpoint save failed") from err
+        import logging
+        logging.getLogger("video_spike_tpu").warning(
+            "background checkpoint save failed (continuing): %r", err)
 
 
 def load_checkpoint(directory: str | Path, name: str,

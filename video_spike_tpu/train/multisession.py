@@ -583,7 +583,7 @@ class MultiSessionTrainer:
                     # persist within the cluster grace window and return
                     # immediately — no best-restore, no test eval (a hard
                     # kill mid-eval would truncate test_results.npy)
-                    wait_for_checkpoints()
+                    wait_for_checkpoints(raise_errors=False)
                     self._save_last(epoch)
                     self._flush_best()
                     self.log.info(f"preempted at epoch {epoch}: "
