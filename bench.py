@@ -152,20 +152,16 @@ def bench_ssl_turbo(rng) -> dict:
     return bench_ssl_step(rng, turbo=True)
 
 
-def bench_probe_head(rng) -> dict:
-    """VideoMAE-probe head step at the production configuration: frozen
-    features cached in HBM (train/base.py frozen-split path), bf16+SR
-    store, fused low-rank update on the 308M encoder_head
-    (BASELINE.md "VideoMAE probe profile"; A/B in
-    scripts/profile_fused_readout.py pa/pb)."""
+def probe_head_fixture(rng, B=8, L=1568, D=768, N=436):
+    """The VideoMAE-probe head workload at the production shape: a
+    (B, L, D) cached-frozen-features batch feeding the 308M encoder_head ->
+    decoder_head readout (models/videomae.py head(); reference
+    /root/reference/src/model/videomae.py:13-14), bf16+SR parameter store.
+    Single source of truth for bench_probe_head and
+    scripts/profile_fused_readout.py's pa/pb arms. Returns
+    (head_module, probe_like, host_params, hidden, ap, sched) — params are
+    host-side so each timing arm can device_put its own donatable copy."""
     import flax.linen as nn
-    from video_spike_tpu.ops.optim import apply_updates_sr
-    from video_spike_tpu.ops.poisson import poisson_nll_mean
-    from video_spike_tpu.ops import fused_readout as fr
-    B, L, D, N = 8, 1568, 768, 436
-    hidden = jnp.asarray(rng.normal(size=(B, L, D))
-                         .astype(np.float32)).astype(jnp.bfloat16)
-    ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
 
     class Head(nn.Module):
         @nn.compact
@@ -176,19 +172,38 @@ def bench_probe_head(rng) -> dict:
             return x.reshape(h.shape[0], 100, N)
 
     head = Head()
-    params = jax.tree.map(
+    hidden = jnp.asarray(rng.normal(size=(B, L, D))
+                         .astype(np.float32)).astype(jnp.bfloat16)
+    ap = jnp.asarray(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
+    params_host = jax.device_get(jax.tree.map(
         lambda p: (p.astype(jnp.bfloat16)
                    if p.dtype == jnp.float32 and p.size >= (1 << 16)
-                   else p), head.init(jax.random.PRNGKey(0), hidden[:1]))
+                   else p), head.init(jax.random.PRNGKey(0), hidden[:1])))
     sched = optax.cosine_onecycle_schedule(10_000, 5e-5)
-    tx = optax.adafactor(sched, multiply_by_parameter_scale=False,
-                         clipping_threshold=None)
 
     class ProbeLike:
         config = {"decoder": {"output_dim": 100 * N}}
 
+    return head, ProbeLike(), params_host, hidden, ap, sched
+
+
+def bench_probe_head(rng) -> dict:
+    """VideoMAE-probe head step at the production configuration: frozen
+    features cached in HBM (train/base.py frozen-split path), bf16+SR
+    store, fused low-rank update on the 308M encoder_head
+    (BASELINE.md "VideoMAE probe profile"; A/B in
+    scripts/profile_fused_readout.py pa/pb)."""
+    from video_spike_tpu.ops.optim import apply_updates_sr
+    from video_spike_tpu.ops.poisson import poisson_nll_mean
+    from video_spike_tpu.ops import fused_readout as fr
+    B = 8
+    _, probe, params_host, hidden, ap, sched = probe_head_fixture(rng, B=B)
+    params = jax.device_put(params_host)
+    tx = optax.adafactor(sched, multiply_by_parameter_scale=False,
+                         clipping_threshold=None)
+
     inner = fr.make_fused_probe_head_step(
-        ProbeLike(), tx, sched,
+        probe, tx, sched,
         lambda out, a, nv: poisson_nll_mean(out, a), apply_updates_sr)
 
     def step(carry, hidden, ap):

@@ -52,7 +52,7 @@ def bf16_store(params):
                    else p), params)
 
 
-def timeit(name, step, carry, args, iters=40, warmup=5):
+def timeit(name, step, carry, args, batch=BATCH, iters=40, warmup=5):
     jstep = jax.jit(step, donate_argnums=(0,))
     for i in range(warmup):
         carry = jstep(carry, *args, jnp.uint32(i))
@@ -62,32 +62,19 @@ def timeit(name, step, carry, args, iters=40, warmup=5):
         carry = jstep(carry, *args, jnp.uint32(warmup + i))
     _ = float(jax.tree.leaves(carry)[-1].reshape(-1)[0])
     dt = (time.perf_counter() - t0) / iters
-    fps = BATCH * T_FRAMES / dt
-    print(f"{name:14s} {dt*1e3:7.2f} ms/step   {fps:9.0f} frames/s")
+    fps = batch * T_FRAMES / dt
+    print(f"{name:20s} {dt*1e3:7.2f} ms/step   {fps:9.0f} frames/s")
     return dt
 
 
 def main_probe(which):
-    """Probe head arms: batch 8, features (8, 1568, 768) bf16 staged."""
-    import flax.linen as nn
-    B, L, D, N = 8, 1568, 768, 436
-    rng = np.random.default_rng(0)
-    hidden = jax.device_put(rng.normal(size=(B, L, D))
-                            .astype(np.float32)).astype(jnp.bfloat16)
-    ap = jax.device_put(rng.poisson(1.0, (B, 100, N)).astype(np.float32))
-    sched = optax.cosine_onecycle_schedule(10_000, 5e-5)
-
-    class Head(nn.Module):
-        @nn.compact
-        def __call__(self, h):
-            flat = h.reshape(h.shape[0], -1).astype(jnp.float32)
-            x = nn.Dense(256, name="encoder_head")(flat)
-            x = nn.Dense(100 * N, name="decoder_head")(x)
-            return x.reshape(h.shape[0], 100, N)
-
-    head = Head()
-    params_host = jax.device_get(
-        bf16_store(head.init(jax.random.PRNGKey(0), hidden[:1])))
+    """Probe head arms: batch 8, features (8, 1568, 768) bf16 staged.
+    The workload fixture is bench.probe_head_fixture — one source of truth
+    with the production bench."""
+    from bench import probe_head_fixture
+    B = 8
+    head, probe, params_host, hidden, ap, sched = probe_head_fixture(
+        np.random.default_rng(0), B=B)
 
     def fresh_params():   # each arm donates its own copy
         return jax.device_put(params_host)
@@ -108,17 +95,15 @@ def main_probe(which):
                     opt_state, loss)
 
         params = fresh_params()
-        timeit_probe("probe-materialized", step_a,
-                     (params, tx.init(params), jnp.float32(0)),
-                     (hidden, ap), B)
+        timeit("probe-materialized", step_a,
+               (params, tx.init(params), jnp.float32(0)),
+               (hidden, ap), batch=B)
 
     if "pb" in which:
-        class FakeProbe:
-            config = {"decoder": {"output_dim": 100 * N}}
         tx_rest = optax.adafactor(sched, multiply_by_parameter_scale=False,
                                   clipping_threshold=None)
         inner = fr.make_fused_probe_head_step(
-            FakeProbe(), tx_rest, sched, criterion, apply_updates_sr)
+            probe, tx_rest, sched, criterion, apply_updates_sr)
 
         def step_f(carry, hidden, ap, seed):
             params, opt_state, _ = carry
@@ -126,26 +111,11 @@ def main_probe(which):
             return (p, o, loss)
 
         params = fresh_params()
-        timeit_probe("probe-fused", step_f,
-                     (params, fr.init_fused_opt_state(
-                         params, tx_rest, split=fr.split_head_kernel),
-                      jnp.float32(0)),
-                     (hidden, ap), B)
-
-
-def timeit_probe(name, step, carry, args, batch, iters=40, warmup=5):
-    jstep = jax.jit(step, donate_argnums=(0,))
-    for i in range(warmup):
-        carry = jstep(carry, *args, jnp.uint32(i))
-    _ = float(jax.tree.leaves(carry)[-1].reshape(-1)[0])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        carry = jstep(carry, *args, jnp.uint32(warmup + i))
-    _ = float(jax.tree.leaves(carry)[-1].reshape(-1)[0])
-    dt = (time.perf_counter() - t0) / iters
-    fps = batch * T_FRAMES / dt
-    print(f"{name:20s} {dt*1e3:7.2f} ms/step   {fps:9.0f} frames/s")
-    return dt
+        timeit("probe-fused", step_f,
+               (params, fr.init_fused_opt_state(
+                   params, tx_rest, split=fr.split_head_kernel),
+                jnp.float32(0)),
+               (hidden, ap), batch=B)
 
 
 def main():

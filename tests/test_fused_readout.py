@@ -390,3 +390,99 @@ def test_light_eval_matches_host_eval(tiny_session, tmp_path):
     for k in ("eval_bps", "eval_rsquared", "eval_loss"):
         assert light["eval_res"][k] == pytest.approx(
             host["eval_res"][k], abs=3e-4), k
+
+
+def test_pallas_contract_rejects_f32_and_untileable():
+    """use_pallas=True is an explicit A/B knob: non-bf16 kernels (the XLA
+    path preserves their dtype; the kernel would downcast) and M not
+    divisible by 8 raise instead of silently misbehaving."""
+    x, dz = _factors(8)
+    w32 = jnp.asarray(np.random.default_rng(9).normal(size=(M, N))
+                      .astype(np.float32))
+    st = fr.init_fused_state(w32)
+    with pytest.raises(ValueError, match="bf16"):
+        fr.fused_readout_update(w32, x, dz, st, 1e-3, seed=jnp.uint32(0),
+                                use_pallas=True, interpret=True)
+    w_odd = jnp.asarray(np.random.default_rng(10)
+                        .normal(size=(M + 1, N))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+    x_odd = jnp.concatenate([x, x[:, :1]], axis=1)
+    with pytest.raises(ValueError, match="divisible by 8"):
+        fr.fused_readout_update(w_odd, x_odd, dz, fr.init_fused_state(w_odd),
+                                1e-3, seed=jnp.uint32(0), use_pallas=True,
+                                interpret=True)
+
+
+def _build_probe_trainer(tmp_path, opt_overrides):
+    """Tiny VideoMAEProbe BaseTrainer (mirrors test_videomae's TINY shrink)."""
+    from video_spike_tpu.core.config import config_from_kwargs, update_config
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.dataset import (
+        get_metadata_from_loader, make_loader, split_dataset)
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+    from video_spike_tpu.train.base import BaseTrainer
+
+    tiny = dict(image_size=32, patch_size=8, num_channels=3, num_frames=8,
+                tubelet_size=2, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=64,
+                encoder={"output_dim": 16}, decoder={"output_dim": 100 * 4})
+    data_dir = tmp_path / "data"
+    make_synthetic_session(data_dir, eid="fusedprobe", n_trials=16,
+                           n_neurons=4, seed=3, height=32, width=32)
+    config = config_from_kwargs(
+        {"model": "include:configs/model/videomae/videomae.yaml"})
+    config = update_config("configs/train/vmae_video.yaml", config)
+    config["dirs"]["data_dir"] = str(data_dir)
+    config["training"]["num_epochs"] = 1
+    config["training"]["train_batch_size"] = 8
+    for k, v in tiny.items():
+        config["model"][k] = v
+    for k, v in opt_overrides.items():
+        config["optimizer"][k] = v
+    split = split_dataset(str(data_dir), "fusedprobe", seed=0)
+    train_dl, val_dl, test_dl = make_loader(config, split)
+    meta = get_metadata_from_loader(train_dl, config)
+    config["model"]["decoder"]["output_dim"] = meta["output_dim"]
+    model = NAME2MODEL[config.model.model_class].from_config(config.model)
+    return BaseTrainer(model, train_dl, val_dl, test_dl, config,
+                       eid="fusedprobe", dataset_split_dict=split,
+                       log_dir=str(tmp_path / "log"))
+
+
+def test_trainer_engages_fused_probe_head(tmp_path):
+    """Regression: optimizer.fused_readout on the frozen VideoMAEProbe must
+    reach the fused head branch through BaseTrainer (the round-3 guard
+    disabled it for every frozen-path model, making the branch dead code),
+    train finitely, and keep the frozen backbone bit-stable."""
+    t = _build_probe_trainer(tmp_path, dict(
+        name="adafactor", param_scale=False, clipping=None,
+        fused_readout=True, fused_min_kernel=1))
+    assert t._fused_readout and t._frozen_split
+    res = t.train_epoch()
+    assert t._fused_inner is not None and t._fused_is_head
+    assert np.isfinite(res["train_loss"])
+    backbone_1 = jax.tree.map(np.asarray, t.params["params"]["video_mae"])
+    head_1 = jax.tree.map(np.asarray, t.params["params"]["encoder_head"])
+    t.train_epoch()
+    for a, b in zip(jax.tree.leaves(backbone_1),
+                    jax.tree.leaves(t.params["params"]["video_mae"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(float(np.abs(a - np.asarray(b)).max()) > 0
+               for a, b in zip(jax.tree.leaves(head_1),
+                               jax.tree.leaves(
+                                   t.params["params"]["encoder_head"])))
+    # the fused opt_state really is the (FusedReadoutState, rest) pair
+    assert type(t.opt_state[0]).__name__ == "FusedReadoutState"
+    assert int(jax.device_get(t.opt_state[0].count)) > 0
+
+
+def test_fused_readout_requires_adafactor(tmp_path):
+    """fused_readout implements adafactor numerics; with any other
+    optimizer it must disable itself rather than silently train the giant
+    kernel with different numerics than configured."""
+    t = _build_probe_trainer(tmp_path, dict(fused_readout=True,
+                                            fused_min_kernel=1))
+    assert not t._fused_readout      # vmae config default is adamw
+    res = t.train_epoch()
+    assert t._fused_inner is None
+    assert np.isfinite(res["train_loss"])

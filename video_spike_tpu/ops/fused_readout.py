@@ -146,9 +146,17 @@ def _fused_kernel(seed_ref, w_ref, xa_ref, dzc_ref, out_ref):
 
 def _apply_scaled_outer_pallas(w, xa, dzc, seed, interpret=False):
     """Tiled W-stream update: per M-tile, one (TM,B)@(B,N) MXU matmul + add
-    + stochastic round, so HBM sees only W in / W out."""
+    + stochastic round, so HBM sees only W in / W out.
+
+    A/B-harness contract: bf16 kernels with M divisible by 8 only (the
+    kernel fuses the SR-to-bf16 write; the XLA path handles everything)."""
     m, n = w.shape
     tm = _pick_tile(m)
+    if w.dtype != jnp.bfloat16 or tm is None:
+        raise ValueError(
+            f"use_pallas=True supports bf16 kernels with M divisible by 8; "
+            f"got dtype={w.dtype}, shape={(m, n)} — use the XLA path "
+            f"(use_pallas=False), which preserves the kernel dtype")
     xat = xa.T                                        # (M, B) f32
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
     return pl.pallas_call(

@@ -247,18 +247,34 @@ class BaseTrainer:
         self._sr_params = (config.optimizer.get("param_dtype")
                            == "bfloat16_sr")
         # fused low-rank readout update (ops/fused_readout): the giant
-        # first-Dense gradient is rank-batch, so its adafactor step never
-        # materializes an (M, N) gradient. Linear-only; incompatible with
-        # gradient accumulation (MultiSteps wraps tx.update) and frozen
-        # subtrees (never present on LinearModel).
+        # readout gradient is rank-batch, so its adafactor step never
+        # materializes an (M, N) gradient. Eligible models: LinearModel
+        # (first-Dense kernel) and the frozen-split VideoMAEProbe
+        # (encoder_head over cached features). Incompatible with gradient
+        # accumulation (MultiSteps wraps tx.update) and with frozen
+        # subtrees that lack the encode/head split.
         self._fused_readout = bool(config.optimizer.get("fused_readout"))
-        if self._fused_readout and (
-                int(config.optimizer.get(
-                    "gradient_accumulation_steps", 1) or 1) > 1
-                or self._frozen_paths):
-            self.log.info("fused_readout disabled: incompatible with "
-                          "gradient accumulation / frozen paths")
-            self._fused_readout = False
+        if self._fused_readout:
+            opt_name = config.optimizer.get("name", "adamw")
+            if int(config.optimizer.get(
+                    "gradient_accumulation_steps", 1) or 1) > 1:
+                self.log.info("fused_readout disabled: incompatible with "
+                              "gradient accumulation")
+                self._fused_readout = False
+            elif self._frozen_paths and not self._frozen_split:
+                self.log.info("fused_readout disabled: frozen paths "
+                              "without an encode/head split")
+                self._fused_readout = False
+            elif opt_name not in ("adafactor", "adafactor_lean"):
+                # the fused step IS adafactor numerics on the giant kernel;
+                # pairing it with any other optimizer would silently train
+                # that one layer with different numerics than configured
+                # (the quality gate only ever validated the adafactor arm)
+                self.log.info(
+                    f"fused_readout disabled: it implements adafactor "
+                    f"numerics but optimizer.name={opt_name} "
+                    f"(set name: adafactor)")
+                self._fused_readout = False
         self._fused_inner = None
         self._fused_is_head = False
         self._fused_split_fn = None
@@ -354,10 +370,16 @@ class BaseTrainer:
         # other hosts' devices)
         if self._fused_inner is not None:
             from video_spike_tpu.ops import fused_readout as fr
-            o0 = fr.init_fused_opt_state(self.params, self.tx,
-                                         split=self._fused_split_fn)
-            self.opt_state = (o0 if self._multihost
-                              else jax.device_put(o0, self.repl))
+            f0, rest0 = fr.init_fused_opt_state(self.params, self.tx,
+                                                split=self._fused_split_fn)
+            if self._multihost:
+                # tx.init on the replicated global params is already global
+                # (see the comment above), but init_fused_state's fresh
+                # zeros are process-local and must be lifted to the global
+                # mesh explicitly or the first collective step rejects them
+                self.opt_state = (mh.replicate_tree(f0, self.repl), rest0)
+            else:
+                self.opt_state = jax.device_put((f0, rest0), self.repl)
         else:
             self.opt_state = (self.tx.init(self.params) if self._multihost
                               else jax.device_put(self.tx.init(self.params),

@@ -10,26 +10,26 @@ the ``model_best`` / ``model_last`` contract.
 from __future__ import annotations
 
 import threading
-from collections import defaultdict
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
-# One lock per resolved checkpoint path: serializes every save to that path
-# regardless of which thread (trainer main loop, async flush daemon) issues
-# it. Orbax's tmp-dir protocol (`<name>.orbax-checkpoint-tmp*` created, then
-# renamed over the final dir) is not safe under overlap — a second writer
-# hits FileExistsError on the tmp mkdir and the artifact is never written
-# (seen as a flaky full-suite failure under CPU load).
-_PATH_LOCKS: dict = defaultdict(threading.Lock)
-_PATH_LOCKS_GUARD = threading.Lock()
-
-
-def _path_lock(path: Path) -> threading.Lock:
-    with _PATH_LOCKS_GUARD:
-        return _PATH_LOCKS[str(path)]
+# ONE lock for every orbax save in this process, whichever thread (trainer
+# main loop, async flush daemons) issues it. Two reasons:
+# - same path: orbax's tmp-dir protocol (`<name>.orbax-checkpoint-tmp*`
+#   created, then renamed over the final dir) is not safe under overlap — a
+#   second writer hits FileExistsError on the tmp mkdir and the artifact is
+#   never written (seen as a flaky full-suite failure under CPU load);
+# - different paths: orbax's async-save signaling (operation-id counter +
+#   awaitable-signal keys in a process-global client) is not thread-safe
+#   either — two concurrent saves (model_last + model_best flushes) can
+#   leave one blocked on `awaitable_signals_contract_N/
+#   step_directory_creation` until its 300 s barrier timeout.
+# Only the orbax write serializes; the expensive device->host fetch
+# (parallel_device_get) happens before the lock and still overlaps.
+_SAVE_LOCK = threading.Lock()
 
 
 def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
@@ -40,7 +40,7 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
     primary clears the previous copy; a pre-save barrier keeps the others
     from racing into orbax while the directory is being removed."""
     path = (Path(directory) / name).resolve()
-    with _path_lock(path):
+    with _SAVE_LOCK:
         ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             import shutil

@@ -111,8 +111,8 @@ class ContrastTrainer:
         n_data = self.mesh.shape["data"]
         if self._multihost:
             assert n_data % jax.process_count() == 0, (
-                f"data axis {n_data} must divide process count "
-                f"{jax.process_count()}")
+                f"process count {jax.process_count()} must divide the "
+                f"data axis {n_data}")
         # the reference's DDP scaling rules (/root/reference/src/
         # pretrain.py:120-124): each of world_size processes pulls its own
         # batch (global batch scales with world) and lr scales by world_size

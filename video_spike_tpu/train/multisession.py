@@ -374,7 +374,11 @@ class MultiSessionTrainer:
         return {"train_loss": round(float(loss_vals.mean()), 5),
                 "lr": float(self.schedule(self._gstep))}
 
-    def _iter_staged_eval(self, loaders):
+    def _iter_staged_eval(self, loaders, need_ap: bool = True):
+        """``need_ap=False`` drops the padded device ``ap`` tensor from the
+        yielded item: only the on-device light metrics path reads it, so
+        pinning it for the host path (multihost / return_outputs) would
+        just inflate eval cache pressure."""
         for eid, loader in loaders.items():
             if loader.num_trials == 0:
                 continue
@@ -385,9 +389,9 @@ class MultiSessionTrainer:
                 video, ap, sids, nmask, n_valid = self._pad_batch(
                     batch, eid)
                 yield (eid, video, sids, batch["ap"].shape[0],
-                       np.asarray(batch["ap"]), ap)
+                       np.asarray(batch["ap"]), ap if need_ap else None)
 
-    def _eval_batches(self, loaders, phase: str):
+    def _eval_batches(self, loaders, phase: str, need_ap: bool = True):
         """Evaluation inputs are static: stage each session's batches on
         device once (same rationale as ``BaseTrainer._eval_batches`` — the
         video re-upload plus per-batch RTTs dominated eval wall time).
@@ -400,13 +404,14 @@ class MultiSessionTrainer:
         if phase in cache:
             if cache[phase] is not None:
                 return cache[phase]
-            return self._iter_staged_eval(loaders)  # too big: stream
+            return self._iter_staged_eval(loaders, need_ap)  # too big: stream
         cap = max(self._device_cache_gb * 1e9 - self._staged_bytes, 0)
         staged, nbytes = [], 0
-        it = self._iter_staged_eval(loaders)
+        it = self._iter_staged_eval(loaders, need_ap)
         for item in it:
             staged.append(item)
-            nbytes += item[1].nbytes + item[5].nbytes
+            nbytes += item[1].nbytes + (
+                item[5].nbytes if item[5] is not None else 0)
             if nbytes > cap:
                 self.log.info(f"{phase} split exceeds the remaining device "
                               f"cache budget; streaming eval inputs")
@@ -420,15 +425,18 @@ class MultiSessionTrainer:
         per_session = {}
         gt_out, pred_out = {}, {}
         sess_out: Dict[str, list] = {}
+        light = not return_outputs and not self._multihost
         for eid, video, sids, b, ap_np, ap_d in self._eval_batches(
-                loaders, phase):
+                loaders, phase, need_ap=light):
             out = self._eval_fn(self.params, video, sids)
             sess_out.setdefault(eid, []).append((out, b, ap_np, ap_d))
+            if ap_d is None:   # phase was staged for the host path
+                light = False
         # light path: per-session metrics on device, one scalar fetch for
         # the whole eval (the host path fetches every session's preds and
         # runs numpy metrics — ~200 ms/epoch on a 1-core host). Arrays are
         # only materialized for the test contract / figures.
-        if not return_outputs and not self._multihost:
+        if light:
             from video_spike_tpu.ops.metrics import device_eval_metrics
             import jax.numpy as jnp
             eids, scalars = [], []
