@@ -6,6 +6,16 @@ synthetic fixture and prints one JSON line per arm. Pass --seed to add
 gate replicas (round-3 shipped on seed 42; see BASELINE.md for results).
 
     python scripts/quality_gate_optimizer.py [--seed 42] [--fixture DIR]
+
+``--suite probe`` swaps in the VideoMAE-probe arms instead: the frozen
+ViT-Base probe (`cli.train` + `configs/model/videomae/videomae.yaml`)
+trained end-to-end with the lean-adafactor head update materialized vs
+fused (`optimizer.fused_readout`, ops/fused_readout.py). Random-init
+backbone, so lr is pinned to the documented safe 2e-6 (BASELINE.md
+"VideoMAE probe profile": the reference recipe's 5e-5 diverges without
+pretrained weights); both arms share it, the gate compares arms, not
+recipes. Default 12 epochs — steady-state head epochs are sub-second, the
+run is compile- and encode-dominated.
 """
 
 from __future__ import annotations
@@ -39,13 +49,44 @@ def write_arm_configs(tmp: Path) -> dict:
             "fused_readout_sr": fu}
 
 
+def write_probe_arm_configs(tmp: Path) -> dict:
+    import yaml
+    cfg = yaml.safe_load((REPO / "configs/train/vmae_video.yaml").read_text())
+    cfg["optimizer"]["name"] = "adafactor"
+    cfg["optimizer"]["param_scale"] = False
+    cfg["optimizer"]["clipping"] = None
+    cfg["optimizer"]["param_dtype"] = "bfloat16_sr"
+    cfg["optimizer"]["lr"] = 2.0e-06
+    mat = tmp / "vmae_video_mat.yaml"
+    mat.write_text(yaml.safe_dump(cfg))
+    cfg["optimizer"]["fused_readout"] = True
+    fu = tmp / "vmae_video_fused.yaml"
+    fu.write_text(yaml.safe_dump(cfg))
+    return {"probe_materialized_sr": mat, "probe_fused_sr": fu}
+
+
+SUITES = {
+    "linear": dict(model_config="configs/model/linear_video.yaml",
+                   configs=write_arm_configs, n_trials=120,
+                   num_epochs=None),
+    "probe": dict(model_config="configs/model/videomae/videomae.yaml",
+                  configs=write_probe_arm_configs, n_trials=48,
+                  num_epochs=12),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--fixture", type=str, default=None)
     ap.add_argument("--arms", type=str, default=None,
                     help="comma-separated arm names (default: all)")
+    ap.add_argument("--suite", type=str, default="linear",
+                    choices=sorted(SUITES))
+    ap.add_argument("--num_epochs", type=int, default=None,
+                    help="override the suite's epoch count")
     args = ap.parse_args()
+    suite = SUITES[args.suite]
 
     tmp = Path(tempfile.mkdtemp(prefix="optgate_"))
     fixture = args.fixture
@@ -53,29 +94,42 @@ def main():
         fixture = str(tmp / "fixture")
         subprocess.run(
             [sys.executable, "-m", "video_spike_tpu.cli.make_fixture",
-             "--out", fixture, "--eid", "qualeid000", "--n_trials", "120",
+             "--out", fixture, "--eid", "qualeid000",
+             "--n_trials", str(suite["n_trials"]),
              "--n_neurons", "436", "--height", "128", "--width", "128"],
             check=True, cwd=REPO)
 
+    num_epochs = (args.num_epochs if args.num_epochs is not None
+                  else suite["num_epochs"])
     arms = set(args.arms.split(",")) if args.arms else None
-    for name, cfg in write_arm_configs(tmp).items():
+    for name, cfg in suite["configs"](tmp).items():
         if arms is not None and name not in arms:
             continue
-        out = subprocess.run(
-            [sys.executable, "-u", "-m", "video_spike_tpu.cli.train",
-             "--model_config", "configs/model/linear_video.yaml",
-             "--train_config", str(cfg), "--eid", "qualeid000",
-             "--data_dir", fixture, "--seed", str(args.seed),
-             "--log_dir", str(tmp / f"logs_{name}_s{args.seed}")],
-            capture_output=True, text=True, cwd=REPO)
+        cmd = [sys.executable, "-u", "-m", "video_spike_tpu.cli.train",
+               "--model_config", suite["model_config"],
+               "--train_config", str(cfg), "--eid", "qualeid000",
+               "--data_dir", fixture, "--seed", str(args.seed),
+               "--log_dir", str(tmp / f"logs_{name}_s{args.seed}")]
+        if num_epochs is not None:
+            cmd += ["--num_epochs", str(num_epochs)]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         text = out.stdout + out.stderr
-        rec = {"arm": name, "seed": args.seed}
-        m = re.search(r"best_eval_bps': (-?[0-9.e+-]+)", text)
-        t = re.search(r"'test_bps': (-?[0-9.e+-]+)", text)
-        w = re.search(r"trained 200 epochs in ([0-9.]+)s", text)
-        rec["best_eval_bps"] = float(m.group(1)) if m else None
-        rec["test_bps"] = float(t.group(1)) if t else None
-        rec["wall_s"] = float(w.group(1)) if w else None
+        (tmp / f"arm_{name}_s{args.seed}.log").write_text(text)
+        rec = {"arm": name, "seed": args.seed,
+               "log": str(tmp / f"arm_{name}_s{args.seed}.log")}
+
+        def grab(pattern):
+            m = re.search(pattern, text)
+            if not m:
+                return None
+            try:
+                return float(m.group(1))
+            except ValueError:   # -inf / nan / truncated output
+                return m.group(1)
+
+        rec["best_eval_bps"] = grab(r"best_eval_bps': (-?[0-9.e+-]+|-?inf|nan)")
+        rec["test_bps"] = grab(r"'test_bps': (-?[0-9.e+-]+|-?inf|nan)")
+        rec["wall_s"] = grab(r"trained \d+ epochs in ([0-9.]+)s")
         if out.returncode != 0:
             rec["error"] = text[-300:]
         print(json.dumps(rec), flush=True)
