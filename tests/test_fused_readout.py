@@ -37,6 +37,34 @@ def test_lowrank_stats_match_materialized():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_update_survives_roundoff_negative_stats(monkeypatch):
+    """Regression (round-3 probe quality gate): the factored statistics are
+    mathematically >= 0, but at the production 1.2M-row head their B^2
+    mixed-sign f32 sums cancel to tiny negatives (observed: one -34 among
+    O(1e10) magnitudes), and rsqrt(negative) wiped the whole kernel row
+    with NaN. The update must clamp the stats before rsqrt."""
+    x, dz = _factors()
+    w = jnp.asarray(np.random.default_rng(2).normal(size=(M, N))
+                    .astype(np.float32) * 0.01)
+    real = fr.lowrank_row_col_sq
+
+    def negative_roundoff(x_, dz_):
+        row_sq, col_sq = real(x_, dz_)
+        row_sq = row_sq.at[7].set(-34.0)     # the observed failure mode
+        col_sq = col_sq.at[3].set(-1e-3)
+        return row_sq, col_sq
+
+    monkeypatch.setattr(fr, "lowrank_row_col_sq", negative_roundoff)
+    w2, st = fr.fused_readout_update(w, x, dz, fr.init_fused_state(w),
+                                     1e-3, seed=jnp.uint32(0),
+                                     use_pallas=False)
+    assert bool(jnp.all(jnp.isfinite(w2)))
+    assert bool(jnp.all(jnp.isfinite(st.row))) and bool(
+        jnp.all(st.row >= 0.0))
+    assert bool(jnp.all(jnp.isfinite(st.col))) and bool(
+        jnp.all(st.col >= 0.0))
+
+
 def test_update_matches_adafactor_lean_f32():
     """f32 kernel: 3 fused steps == 3 adafactor_lean steps on exact grads."""
     x, dz = _factors()

@@ -70,17 +70,37 @@ def init_fused_state(kernel: jax.Array) -> FusedReadoutState:
                              jnp.zeros((n,), jnp.float32))
 
 
+def _psd_sqrt_t(k: jax.Array) -> jax.Array:
+    """sqrt(Λ) Qᵀ of a tiny (B, B) PSD matrix, eigenvalues clamped >= 0."""
+    lam, q = jnp.linalg.eigh(k)
+    return jnp.sqrt(jnp.maximum(lam, 0.0))[:, None] * q.T
+
+
 def lowrank_row_col_sq(x: jax.Array, dz: jax.Array):
     """(rowsum_n G^2, colsum_m G^2) of G = x^T @ dz, without forming G.
 
     ``x``: (B, M), ``dz``: (B, N); f32 math regardless of input dtypes.
+
+    Numerics: row_sq[m] = x[:,m]ᵀ (dz dzᵀ) x[:,m] is a PSD quadratic form,
+    but evaluating it as Σ_b ((dz dzᵀ) x)[b,m] · x[b,m] sums B mixed-sign
+    products whose f32 cancellation error is *absolute* (∝ the largest
+    intermediate). At the production probe-head scale (M=1.2M,
+    intermediates ~1e6) rows whose true value is below the ~1e1 noise
+    floor came out negative (-34 observed), and the resulting rsqrt either
+    NaN'd or amplified that row's update by ~1e14x. Instead factor the
+    tiny (B, B) PSD matrix as (√Λ Qᵀ)ᵀ(√Λ Qᵀ) and return
+    Σ_b ((√Λ Qᵀ) x)[b,m]² — a sum of squares, non-negative by
+    construction, with *relative* rounding error and rank-deficiency safe
+    (duplicate padded batch rows make dz dzᵀ singular; clamped eigenvalues
+    handle it). Cost: one B×B eigh (B ≤ 32) + the same O(B²·(M+N))
+    matmuls as before.
     """
     xf = x.astype(jnp.float32)
     dzf = dz.astype(jnp.float32)
-    k = dzf @ dzf.T                                  # (B, B)
-    row_sq = jnp.einsum("bm,bm->m", k @ xf, xf)      # (M,)
-    gram = xf @ xf.T                                 # (B, B)
-    col_sq = jnp.einsum("bn,bn->n", gram @ dzf, dzf)  # (N,)
+    z = _psd_sqrt_t(dzf @ dzf.T) @ xf                # (B, M)
+    row_sq = jnp.einsum("bm,bm->m", z, z)            # (M,)
+    w = _psd_sqrt_t(xf @ xf.T) @ dzf                 # (B, N)
+    col_sq = jnp.einsum("bn,bn->n", w, w)            # (N,)
     return row_sq, col_sq
 
 
@@ -202,11 +222,21 @@ def fused_readout_update(kernel: jax.Array, x: jax.Array, dz: jax.Array,
     m, n = kernel.shape
 
     row_sq, col_sq = lowrank_row_col_sq(x, dz)
+    # defense in depth vs the roundoff-negative failure mode documented in
+    # lowrank_row_col_sq (a harmless no-op for its sum-of-squares output,
+    # load-bearing for any alternative stats implementation)
+    row_sq = jnp.maximum(row_sq, 0.0)
+    col_sq = jnp.maximum(col_sq, 0.0)
     # matches mean(g*g + eps, axis) on an exact-f32 G
     r = beta * state.row + (1.0 - beta) * (row_sq / n + eps)
     c = beta * state.col + (1.0 - beta) * (col_sq / m + eps)
 
-    a = jax.lax.rsqrt(r / jnp.mean(r))               # (M,)
+    # bound the per-row amplification: a row whose statistic underflows
+    # relative to the mean must not have its (equally roundoff-dominated)
+    # update row amplified without limit — 1e-12 caps a at 1e6x, far above
+    # any healthy row's scale and far below the 1e14x that overflowed the
+    # exp() link when a cancelled statistic met a non-cancelled update row
+    a = jax.lax.rsqrt(jnp.maximum(r / jnp.mean(r), 1e-12))   # (M,)
     b = jax.lax.rsqrt(c) * (-lr_t)                   # (N,)
     xa = x.astype(jnp.float32) * a[None, :]          # (B, M)
     dzc = dz.astype(jnp.float32) * b[None, :]        # (B, N)
