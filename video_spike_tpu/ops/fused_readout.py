@@ -16,9 +16,13 @@ rank-B factors:
 1. Both factored second-moment statistics have closed forms that never
    touch an (M, N) tensor:
 
-       rowsum_n(G^2)[m] = sum_{b,c} x[b,m] x[c,m] (dz dz^T)[b,c]
-                        = sum_b ((dz dz^T) @ x)[b,m] * x[b,m]        O(B^2 M)
-       colsum_m(G^2)[n] = sum_b ((x x^T) @ dz)[b,n] * dz[b,n]        O(B^2 N)
+       rowsum_n(G^2)[m] = x[:,m]^T (dz dz^T) x[:,m]                  O(B^2 M)
+       colsum_m(G^2)[n] = dz[:,n]^T (x x^T) dz[:,n]                  O(B^2 N)
+
+   evaluated in cancellation-free sum-of-squares form — eigh the tiny
+   (B, B) PSD factor and square (sqrt(L) Q^T) @ x (see
+   lowrank_row_col_sq for why the naive mixed-sign einsum NaN'd at
+   production scale).
 
 2. The scaled update itself is one matmul: with row scale a = rsqrt(r/mean r)
    and col scale c = -lr * rsqrt(v_col),
@@ -35,10 +39,13 @@ read for stats + update write + update read + param read + param write) to
 ~2.1 GB (param read + param write) — the forward pass adds its one
 unavoidable read of W.
 
-Numerics: identical to ``adafactor_lean`` fed an *exact f32* gradient —
-strictly tighter than the shipped materialized path, whose G and update are
+Numerics: matches ``adafactor_lean`` fed an *exact f32* gradient to within
+f32 rounding (the statistics route differs but is the more accurate one) —
+tighter than the shipped materialized path, whose G and update are
 round-tripped through bf16. Quality-gated end-to-end like every optimizer
-change (scripts/quality_gate_optimizer.py; BASELINE.md "optimizer gate").
+change at full production scale and across seeds
+(scripts/quality_gate_optimizer.py --suite linear|probe; BASELINE.md
+"optimizer gate" and "fused low-rank readout update").
 """
 
 from __future__ import annotations
