@@ -42,6 +42,7 @@ def fitted_cebra():
     return model, X
 
 
+@pytest.mark.slow
 def test_cebra_loss_decreases(fitted_cebra):
     model, _ = fitted_cebra
     assert model.losses_[-1] < model.losses_[0] - 0.1, model.losses_

@@ -92,6 +92,7 @@ def _fit_losses(trainer):
     return losses
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(h5_path, tmp_path):
     """Same global batch, same seed: the 8-way data-sharded step reproduces
     the single-device losses (XLA's all-reduce is just a reduction-order

@@ -15,6 +15,7 @@ import pytest
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_dryrun_16_virtual_devices():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

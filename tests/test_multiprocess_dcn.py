@@ -56,6 +56,7 @@ def test_two_process_global_mesh_step():
     assert losses[0] == losses[1], losses
 
 
+@pytest.mark.slow
 def test_two_process_real_trainer_epochs(tmp_path):
     """2 epochs of the REAL BaseTrainer across 2 processes: host-local
     train shards + make_array_from_process_local_data global batches +
@@ -109,6 +110,7 @@ def test_two_process_real_trainer_epochs(tmp_path):
     assert (run_dir / "test_results.npy").exists()
 
 
+@pytest.mark.slow
 def test_two_process_multisession_trainer(tmp_path):
     """2 epochs of the REAL MultiSessionTrainer across 2 processes:
     host-local per-session shards, mixed-session global batches, identical
@@ -163,6 +165,7 @@ def test_two_process_multisession_trainer(tmp_path):
     assert (run_dir / "test_results.npy").exists()
 
 
+@pytest.mark.slow
 def test_two_process_ssl_trainer(tmp_path):
     """The reference's ONLY multi-device path (DDP SSL pretrain,
     /root/reference/src/pretrain.py:51-57) as a real 2-process run of

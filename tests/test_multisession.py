@@ -67,6 +67,7 @@ def two_sessions(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_multisession_streaming_path(two_sessions, tmp_path):
     """device_cache off exercises the per-step round-robin transfers."""
     from video_spike_tpu.core.config import DictConfig

@@ -28,6 +28,7 @@ def _spawn(args, env):
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_resume(tmp_path):
     data = tmp_path / "data"
     make_synthetic_session(data, eid="abcde0000", n_trials=16, n_neurons=6,

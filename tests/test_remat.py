@@ -31,6 +31,7 @@ def _tree_paths(tree):
             for p, v in jax.tree_util.tree_leaves_with_path(tree)}
 
 
+@pytest.mark.slow
 def test_vit_mae_remat_identical(rng):
     x = jnp.asarray(rng.normal(size=(4, 1, 16, 16)).astype(np.float32))
     key = jax.random.PRNGKey(0)
@@ -57,6 +58,7 @@ def test_vit_mae_remat_identical(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_videomae_pretrain_remat_identical(rng):
     video = jnp.asarray(rng.normal(size=(2, 4, 3, 16, 16))
                         .astype(np.float32))
@@ -77,6 +79,7 @@ def test_videomae_pretrain_remat_identical(rng):
     assert losses[0] == losses[1], losses
 
 
+@pytest.mark.slow
 def test_vtt_remat_identical(rng):
     video = jnp.asarray(rng.integers(0, 255, (2, 8, 1, 32, 32))
                         .astype(np.uint8))

@@ -72,6 +72,7 @@ def test_eval_every_controls_cadence(tiny_session, tmp_path, monkeypatch):
     assert len(calls) == 3  # epochs 0, 3, and the final epoch 4
 
 
+@pytest.mark.slow
 def test_pretrain_videomae_then_probe(tiny_session, tmp_path):
     """pretrain_videomae CLI -> probe training with pretrained_backbone:
     the zero-egress replacement for the reference's MCG-NJU download."""

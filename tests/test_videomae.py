@@ -102,6 +102,7 @@ def test_hf_conversion_rejects_bad_tree(rng):
         graft_backbone_into_probe(params, {"patch_embed": {}, "encoder": {}})
 
 
+@pytest.mark.slow
 def test_pretrain_to_probe_graft_beats_random(rng):
     """Grafting a pretrained encoder into the frozen probe must (a) load
     cleanly, (b) change the probe features, and (c) produce frozen features
