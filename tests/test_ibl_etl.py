@@ -9,11 +9,56 @@ from video_spike_tpu.data.ibl import (
     align_spike_behavior,
     bin_spikes,
     create_intervals,
+    dlc_speed,
     get_dlc_midpoint,
     interp_behavior,
     whisker_pad_roi,
     whisker_pad_roi_from_dlc,
 )
+
+
+def test_dlc_speed_golden():
+    """Hand-computed brainbox get_speed parity: displacement-norm x fps at
+    frame midpoints, linearly interpolated (with edge extrapolation) back
+    onto the camera timestamps."""
+    times = np.array([0.0, 1.0, 2.0])
+    dlc = {"paw_l_x": np.array([0.0, 3.0, 3.0]),
+           "paw_l_y": np.array([0.0, 4.0, 4.0])}
+    # right camera: resolution divisor 1, 150 Hz ->
+    # midpoint speeds [5*150, 0] at t=[0.5, 1.5]; extrapolate to the edges
+    out = dlc_speed(dlc, times, camera="right", feature="paw_l")
+    np.testing.assert_allclose(out, [1125.0, 375.0, -375.0])
+    # left camera: positions halved (res 2), 60 Hz -> exact scale factor
+    out_left = dlc_speed(dlc, times, camera="left", feature="paw_l")
+    np.testing.assert_allclose(out_left, out * (60.0 / 150.0) / 2.0)
+
+
+def test_dlc_speed_matches_scipy_interp1d():
+    """The midpoint-resample step reproduces scipy
+    interp1d(fill_value='extrapolate') on irregular timestamps."""
+    from scipy.interpolate import interp1d
+
+    rng = np.random.default_rng(3)
+    n = 50
+    times = np.sort(rng.uniform(0.0, 5.0, n))
+    x = rng.normal(size=n)
+    y = rng.normal(size=n)
+    out = dlc_speed({"nose_tip_x": x, "nose_tip_y": y}, times,
+                    camera="body", feature="nose_tip")
+    s = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2) * 30
+    tv = times[:-1] + np.diff(times) / 2
+    expected = interp1d(tv, s, fill_value="extrapolate")(times)
+    np.testing.assert_allclose(out, expected, rtol=1e-9)
+
+
+def test_dlc_speed_validates_inputs():
+    times = np.arange(4.0)
+    with pytest.raises(ValueError, match="length"):
+        dlc_speed({"paw_r_x": np.zeros(3), "paw_r_y": np.zeros(3)},
+                  times, camera="left")
+    with pytest.raises(ValueError, match="at least 3"):
+        dlc_speed({"paw_r_x": np.zeros(2), "paw_r_y": np.zeros(2)},
+                  np.arange(2.0), camera="left")
 
 
 def test_create_intervals():

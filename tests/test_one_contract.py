@@ -42,19 +42,42 @@ def test_ingest_end_to_end_within_contract(mocks, tmp_path):
     assert sample["video"].shape == (120, 1, 128, 128)
 
 
+#: every target string of the reference's load_target_behavior docstring
+#: (/root/reference/src/utils/ibl_data_utils.py:430-435) plus the raw
+#: dlc-pupil point traces and lightning-pose variants (:506-558) —
+#: right-whisker-motion-energy is exercised separately as the skip case
+#: (the default contract session lacks the right video stream)
+ALL_BEHAVIOR_TARGETS = (
+    "wheel-position", "wheel-velocity", "wheel-speed",
+    "left-whisker-motion-energy",
+    "left-pupil-diameter", "right-pupil-diameter",
+    "dlc-pupil-bottom-r-y", "dlc-pupil-top-r-y",
+    "dlc-pupil-left-r-x", "dlc-pupil-right-r-x",
+    "lightning-pose-left-pupil-diameter",
+    "lightning-pose-right-pupil-diameter",
+    "left-camera-left-paw-speed", "left-camera-right-paw-speed",
+    "right-camera-left-paw-speed", "right-camera-right-paw-speed",
+    "left-nose-speed", "right-nose-speed",
+)
+
+
 def test_trials_and_behavior_loaders_within_contract(mocks):
     one, providers, session = mocks
     trials, mask = oi.load_trials_and_mask(one, "eid", providers)
     assert list(trials.columns) == list(oc.TRIALS_COLUMNS)
-    wheel = oi.load_target_behavior(one, "eid", "wheel-speed", providers)
-    assert not wheel.get("skip")
-    me = oi.load_target_behavior(one, "eid", "left-whisker-motion-energy",
-                                 providers)
-    assert not me.get("skip")
+    # every reference target resolves to aligned {times, values} while
+    # touching ONLY recorded fields
+    for target in ALL_BEHAVIOR_TARGETS:
+        out = oi.load_target_behavior(one, "eid", target, providers)
+        assert not out.get("skip"), target
+        assert len(out["times"]) == len(out["values"]), target
     # a view the session lacks follows the skip contract, not a crash
     right = oi.load_target_behavior(one, "eid",
                                     "right-whisker-motion-energy", providers)
     assert right.get("skip")
+    # unknown targets follow the reference's skip contract too
+    assert oi.load_target_behavior(one, "eid", "no-such-target",
+                                   providers).get("skip")
 
 
 def test_mocks_are_strict(mocks):

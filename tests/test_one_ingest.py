@@ -62,17 +62,32 @@ def session():
         "times": cam_times,
         "whiskerMotionEnergy": np.abs(rng.normal(size=n_cam)),
     })
-    dlc = pd.DataFrame({
-        "nose_tip_x": 14 + rng.normal(0, 0.3, n_cam),
-        "nose_tip_y": 30 + rng.normal(0, 0.3, n_cam),
-        "nose_tip_likelihood": np.full(n_cam, 0.99),
-        "pupil_top_r_x": 38 + rng.normal(0, 0.3, n_cam),
-        "pupil_top_r_y": 14 + rng.normal(0, 0.3, n_cam),
-        "pupil_top_r_likelihood": np.full(n_cam, 0.99),
+    dlc_cols = {}
+    anchors = {"nose_tip": (14, 30), "pupil_top_r": (38, 14),
+               "pupil_bottom_r": (38, 20), "pupil_left_r": (35, 17),
+               "pupil_right_r": (41, 17), "paw_l": (20, 44),
+               "paw_r": (44, 44)}
+    for point, (ax, ay) in anchors.items():
+        dlc_cols[f"{point}_x"] = ax + rng.normal(0, 0.3, n_cam)
+        dlc_cols[f"{point}_y"] = ay + rng.normal(0, 0.3, n_cam)
+        dlc_cols[f"{point}_likelihood"] = np.full(n_cam, 0.99)
+    dlc = pd.DataFrame(dlc_cols)
+
+    diameter = 6.0 + 0.5 * np.sin(cam_times)
+    features = pd.DataFrame({
+        "pupilDiameter_raw": diameter + rng.normal(0, 0.05, n_cam),
+        "pupilDiameter_smooth": diameter,
+    })
+    lp = pd.DataFrame({
+        "pupil_left_r_x": 38.0 - diameter / 2,
+        "pupil_right_r_x": 38.0 + diameter / 2,
+        "pupil_top_r_y": 17.0 - diameter / 2,
+        "pupil_bottom_r_y": 17.0 + diameter / 2,
     })
     return dict(trial_starts=trial_starts, cam_times=cam_times, video=video,
                 spike_times=spike_times, spike_clusters=spike_clusters,
-                trials=trials, wheel=wheel, me=me, dlc=dlc)
+                trials=trials, wheel=wheel, me=me, dlc=dlc,
+                features=features, lp=lp)
 
 
 class FakeRawEphys:
@@ -167,8 +182,15 @@ class FakeONE:
         return self.session["cam_times"]
 
     def load_object(self, eid, obj, attribute=None, collection=None):
-        assert obj == "leftCamera"
-        return {"dlc": self.session["dlc"]}
+        assert obj in ("leftCamera", "rightCamera")
+        if attribute is not None and "lightningPose" in attribute:
+            assert collection is None
+            return {"lightningPose": self.session["lp"],
+                    "times": self.session["cam_times"]}
+        assert collection == "alf"
+        return {"dlc": self.session["dlc"],
+                "features": self.session["features"],
+                "times": self.session["cam_times"]}
 
 
 @pytest.fixture(scope="module")
@@ -229,6 +251,90 @@ def test_load_target_behavior_and_fallback(one, providers, session):
     both = oi.load_anytime_behaviors(one, EID, providers)
     assert not both["left-whisker-motion-energy"].get("skip")
     assert both["right-whisker-motion-energy"].get("skip")
+
+
+def test_pupil_diameter_targets(one, providers, session):
+    """DLC-smoothed pupil diameter reads features.pupilDiameter_smooth;
+    dlc-pupil-* targets read the raw rightCamera point traces."""
+    for cam in ("left", "right"):
+        pup = oi.load_target_behavior(one, EID, f"{cam}-pupil-diameter",
+                                      providers)
+        assert not pup.get("skip")
+        np.testing.assert_array_equal(
+            pup["values"], session["features"]["pupilDiameter_smooth"])
+        np.testing.assert_array_equal(pup["times"], session["cam_times"])
+    for target, col in [("dlc-pupil-bottom-r-y", "pupil_bottom_r_y"),
+                        ("dlc-pupil-top-r-y", "pupil_top_r_y"),
+                        ("dlc-pupil-left-r-x", "pupil_left_r_x"),
+                        ("dlc-pupil-right-r-x", "pupil_right_r_x")]:
+        out = oi.load_target_behavior(one, EID, target, providers)
+        assert not out.get("skip"), target
+        np.testing.assert_array_equal(out["values"], session["dlc"][col])
+
+
+def test_lightning_pose_pupil_diameter(one, providers, session):
+    expected = np.fabs(session["lp"]["pupil_right_r_x"].to_numpy()
+                       - session["lp"]["pupil_left_r_x"].to_numpy())
+    for cam in ("left", "right"):
+        out = oi.load_target_behavior(
+            one, EID, f"lightning-pose-{cam}-pupil-diameter", providers)
+        assert not out.get("skip")
+        np.testing.assert_allclose(out["values"], expected)
+
+
+def test_lightning_pose_mismatch_skips(providers, session):
+    """The reference asserts the x- and y-derived diameters agree; a
+    disagreeing table must land in the skip contract, not crash."""
+    class BadLpONE(FakeONE):
+        def load_object(self, eid, obj, attribute=None, collection=None):
+            out = super().load_object(eid, obj, attribute, collection)
+            if attribute is not None and "lightningPose" in attribute:
+                lp = out["lightningPose"].copy()
+                lp["pupil_top_r_y"] = lp["pupil_top_r_y"] + 1.0
+                out = {**out, "lightningPose": lp}
+            return out
+
+    out = oi.load_target_behavior(BadLpONE(session), EID,
+                                  "lightning-pose-left-pupil-diameter",
+                                  providers)
+    assert out.get("skip")
+
+
+def test_paw_and_nose_speed_targets(one, providers, session):
+    from video_spike_tpu.data.ibl import dlc_speed
+
+    cases = [("left-camera-left-paw-speed", "left", "paw_l"),
+             ("left-camera-right-paw-speed", "left", "paw_r"),
+             ("right-camera-left-paw-speed", "right", "paw_l"),
+             ("right-camera-right-paw-speed", "right", "paw_r"),
+             ("left-nose-speed", "left", "nose_tip"),
+             ("right-nose-speed", "right", "nose_tip")]
+    vals = {}
+    for target, cam, feat in cases:
+        out = oi.load_target_behavior(one, EID, target, providers)
+        assert not out.get("skip"), target
+        np.testing.assert_allclose(
+            out["values"],
+            dlc_speed(session["dlc"], session["cam_times"],
+                      camera=cam, feature=feat))
+        vals[target] = out["values"]
+    # same trace through the two cameras differs by exactly the constant
+    # fps/resolution factor: (150/1) / (60/2) = 5
+    np.testing.assert_allclose(vals["right-nose-speed"],
+                               vals["left-nose-speed"] * 5.0)
+
+
+def test_new_targets_flow_through_bin_behaviors(one, providers, session):
+    """The DLC-derived targets resample to 60 Hz per-trial arrays through
+    the same bin_behaviors path as wheel/whisker signals."""
+    beh, masks = oi.bin_behaviors(
+        one, EID, providers,
+        behaviors=("left-pupil-diameter", "left-nose-speed"),
+        trials_df=session["trials"], allow_nans=True)
+    for name in ("left-pupil-diameter", "left-nose-speed"):
+        good = np.where(masks[name])[0]
+        assert len(good) > 0
+        assert beh[name][good[0]].shape == (120,)
 
 
 def test_bin_spiking_and_behaviors(one, providers, session):

@@ -204,6 +204,40 @@ def whisker_pad_roi(nose_mid: Sequence[int], pupil_mid: Sequence[int]
 PUPIL_TARGETS = ("pupil_top_r", "pupil_left_r", "pupil_right_r",
                  "pupil_bottom_r")
 
+#: IBL camera frame rates / resolution divisors (brainbox.behavior.dlc
+#: constants: the left camera stores half-resolution frames at 60 Hz, the
+#: right full-resolution at 150 Hz, the body camera at 30 Hz).
+DLC_CAMERA_SAMPLING = {"left": 60, "right": 150, "body": 30}
+DLC_CAMERA_RESOLUTION = {"left": 2, "right": 1, "body": 1}
+
+
+def dlc_speed(dlc: Dict[str, np.ndarray], times: np.ndarray, camera: str,
+              feature: str = "paw_r") -> np.ndarray:
+    """Instantaneous speed of a tracked DLC point, in px/s at half
+    resolution — first-party equivalent of ``brainbox.behavior.dlc
+    .get_speed`` as consumed by the reference's paw/nose-speed targets
+    (``/root/reference/src/utils/ibl_data_utils.py:560-595``).
+
+    Positions are rescaled by the camera's resolution divisor, the speed is
+    the per-frame displacement norm times the camera frame rate (defined at
+    frame midpoints), then linearly interpolated (with edge extrapolation,
+    matching scipy ``interp1d(fill_value='extrapolate')``) back onto the
+    original camera timestamps so the output aligns 1:1 with ``times``.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    res = DLC_CAMERA_RESOLUTION[camera]
+    x = np.asarray(dlc[f"{feature}_x"], dtype=np.float64) / res
+    y = np.asarray(dlc[f"{feature}_y"], dtype=np.float64) / res
+    if len(x) != len(times):
+        raise ValueError(
+            f"{feature} trace length {len(x)} != camera times {len(times)}")
+    speed = (np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+             * DLC_CAMERA_SAMPLING[camera])
+    midpoints = times[:-1] + np.diff(times) / 2
+    if midpoints.size < 2:
+        raise ValueError("need at least 3 camera timestamps for speed")
+    return _interp_extrap(times, midpoints, speed)
+
 
 def whisker_pad_roi_from_dlc(dlc: Dict[str, np.ndarray]):
     """Nose + first-available pupil point -> ROI (reference fallback chain)."""

@@ -21,7 +21,11 @@ actual ibllib/brainbox return types as exercised by the reference
 - ``one.load_dataset(eid, '_ibl_<label>Camera.times.npy',
   collection='alf')``; ``one.load_object(eid, '<camera>Camera',
   attribute=['dlc','features','times'], collection='alf')`` with a ``dlc``
-  DataFrame of ``<point>_x/_y/_likelihood`` columns;
+  DataFrame of ``<point>_x/_y/_likelihood`` columns, a ``features``
+  DataFrame carrying :data:`DLC_FEATURES_COLUMNS` (pupil-diameter targets),
+  and ``times``; ``one.load_object(eid, '<camera>Camera',
+  attribute=['lightningPose','times'])`` (no collection) with the pupil
+  point columns in :data:`LP_COLUMNS`;
 - ``one.eid2pid(eid)`` -> (pids, probe names).
 
 :func:`build_contract_mocks` turns the recorded schema into STRICT mocks:
@@ -94,6 +98,18 @@ DLC_POINT_SUFFIXES = ("_x", "_y", "_likelihood")
 #: pupil fallback chain of get_whisker_pad_roi (ibl_data_utils.py:1019-1031)
 DLC_POINTS = ("nose_tip", "pupil_top_r", "pupil_left_r", "pupil_right_r",
               "pupil_bottom_r")
+#: points whose traces feed dlc_speed (paw/nose-speed targets,
+#: ibl_data_utils.py:560-595)
+DLC_SPEED_FEATURES = ("paw_l", "paw_r", "nose_tip")
+#: '<camera>Camera.features' columns (pupil targets read the smooth one,
+#: ibl_data_utils.py:496-505)
+DLC_FEATURES_COLUMNS = ("pupilDiameter_raw", "pupilDiameter_smooth")
+#: lightning-pose pupil load shape: load_object(eid, '<camera>Camera',
+#: attribute=['lightningPose','times']) with NO collection kwarg
+#: (ibl_data_utils.py:530-558); columns the diameter derivation consumes
+LP_OBJECT_ATTRIBUTES = ("lightningPose", "times")
+LP_COLUMNS = ("pupil_left_r_x", "pupil_right_r_x",
+              "pupil_top_r_y", "pupil_bottom_r_y")
 
 
 # ---------------------------------------------------------------------------
@@ -159,9 +175,12 @@ class ContractSession:
         })[list(MOTION_ENERGY_COLUMNS)]
 
         dlc_cols = {}
-        anchors = {"nose_tip": (14, 30), "pupil_top_r": (38, 14)}
-        for point in DLC_POINTS:
-            ax, ay = anchors.get(point, (np.nan, np.nan))
+        anchors = {"nose_tip": (14, 30), "pupil_top_r": (38, 14),
+                   "pupil_bottom_r": (38, 20), "pupil_left_r": (35, 17),
+                   "pupil_right_r": (41, 17), "paw_l": (20, 44),
+                   "paw_r": (44, 44)}
+        for point in dict.fromkeys(DLC_POINTS + DLC_SPEED_FEATURES):
+            ax, ay = anchors[point]
             vals = {"_x": ax + rng.normal(0, 0.3, n_cam),
                     "_y": ay + rng.normal(0, 0.3, n_cam),
                     "_likelihood": np.full(n_cam, 0.99)}
@@ -169,13 +188,33 @@ class ContractSession:
                 dlc_cols[f"{point}{sfx}"] = vals[sfx]
         dlc = pd.DataFrame(dlc_cols)
 
+        # pupil diameter traces: the smooth feature column and a
+        # lightning-pose table whose |right_x-left_x| == |top_y-bottom_y|
+        # exactly (the reference asserts allclose between the two)
+        diameter = 6.0 + 0.5 * np.sin(cam_times)
+        features_values = {
+            "pupilDiameter_raw": diameter + rng.normal(0, 0.05, n_cam),
+            "pupilDiameter_smooth": diameter,
+        }
+        assert set(features_values) == set(DLC_FEATURES_COLUMNS)
+        features = pd.DataFrame(
+            {c: features_values[c] for c in DLC_FEATURES_COLUMNS})
+        lp_values = {
+            "pupil_left_r_x": 38.0 - diameter / 2,
+            "pupil_right_r_x": 38.0 + diameter / 2,
+            "pupil_top_r_y": 17.0 - diameter / 2,
+            "pupil_bottom_r_y": 17.0 + diameter / 2,
+        }
+        assert set(lp_values) == set(LP_COLUMNS)
+        lp = pd.DataFrame({c: lp_values[c] for c in LP_COLUMNS})
+
         n_total = 2 * self.n_neurons_per_probe
         spike_times = np.sort(rng.uniform(0, session_len, 6000))
         spike_clusters = rng.integers(0, n_total, 6000)
 
         self.data = dict(cam_times=cam_times, video=video, trials=trials,
-                         wheel=wheel, me=me, dlc=dlc,
-                         spike_times=spike_times,
+                         wheel=wheel, me=me, dlc=dlc, features=features,
+                         lp=lp, spike_times=spike_times,
                          spike_clusters=spike_clusters)
 
 
@@ -305,11 +344,22 @@ class StrictONE:
         cams = [DLC_OBJECT_FMT.format(camera=c) for c in CAMERA_LABELS]
         if obj not in cams:
             raise ContractError(f"load_object({obj!r}) outside the contract")
+        # lightning-pose shape: attribute=['lightningPose','times'], no
+        # collection (ibl_data_utils.py:530-535)
+        if attribute is not None and set(attribute) == set(LP_OBJECT_ATTRIBUTES):
+            if collection is not None:
+                raise ContractError(
+                    f"lightningPose load carries no collection, "
+                    f"got {collection!r}")
+            return {"lightningPose": self._s.data["lp"],
+                    "times": self._s.data["cam_times"]}
         if collection != DLC_COLLECTION:
             raise ContractError(f"dlc collection {collection!r}")
         if attribute is not None and not set(attribute) <= set(DLC_ATTRIBUTES):
             raise ContractError(f"dlc attributes {attribute!r}")
-        return {"dlc": self._s.data["dlc"]}
+        return {"dlc": self._s.data["dlc"],
+                "features": self._s.data["features"],
+                "times": self._s.data["cam_times"]}
 
 
 def build_contract_mocks(**session_kwargs):

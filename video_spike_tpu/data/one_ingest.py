@@ -10,9 +10,13 @@ and the ``--source one`` flow of ``/root/reference/src/prepare_data.py:84-237``:
 - :func:`load_trials_and_mask` (``:134-229``): trials table + quality mask
   (reaction-time window, trial-length cap, NaN events, no-choice);
 - :func:`load_target_behavior` (``:425-599``) /
-  :func:`load_anytime_behaviors` (``:745-772``): wheel-speed and whisker
-  motion energy via SessionLoader; fetches run in a thread pool (IO-bound —
-  the reference's multiprocessing pool is a CUDA-era artifact);
+  :func:`load_anytime_behaviors` (``:745-772``): the FULL reference target
+  surface — wheel position/velocity/speed and whisker motion energy via
+  SessionLoader, pupil diameter (DLC-smoothed + lightning-pose), raw pupil
+  point traces, paw and nose-tip speeds (via the first-party
+  :func:`video_spike_tpu.data.ibl.dlc_speed`, the brainbox ``get_speed``
+  equivalent); fetches run in a thread pool (IO-bound — the reference's
+  multiprocessing pool is a CUDA-era artifact);
 - :func:`bin_spiking_data` (``:325-398``): stimOn-aligned intervals
   (``align_time + time_window``), delegating the binning to the vectorized
   :func:`video_spike_tpu.data.ibl.bin_spikes`;
@@ -47,6 +51,7 @@ from video_spike_tpu.data.ibl import (
     active_neuron_mask,
     align_spike_behavior,
     bin_spikes,
+    dlc_speed,
     interp_behavior,
     whisker_pad_roi_from_dlc,
 )
@@ -237,11 +242,59 @@ def load_trials_and_mask(one, eid: str, providers: Providers,
 # behaviors
 # ---------------------------------------------------------------------------
 
+def _obj_field(obj, key):
+    """ibllib returns Bunch objects (dict + attribute access); mocks return
+    plain dicts. Normalize the field lookup across both."""
+    if isinstance(obj, dict):
+        return obj[key]
+    return getattr(obj, key)
+
+
+def _load_dlc_object(one, eid: str, camera: str):
+    """alf-collection DLC object for one camera: the
+    (dlc, features, times) load shape shared by every DLC-derived target
+    (``ibl_data_utils.py:494-595``)."""
+    return one.load_object(eid, f"{camera}Camera",
+                           attribute=["dlc", "features", "times"],
+                           collection="alf")
+
+
+#: dlc-pupil-<point> targets read raw rightCamera pupil traces
+#: (``ibl_data_utils.py:506-529``); target suffix -> dlc column.
+_DLC_PUPIL_COLUMNS = {
+    "dlc-pupil-bottom-r-y": "pupil_bottom_r_y",
+    "dlc-pupil-top-r-y": "pupil_top_r_y",
+    "dlc-pupil-left-r-x": "pupil_left_r_x",
+    "dlc-pupil-right-r-x": "pupil_right_r_x",
+}
+
+
+def _lightning_pose_pupil_diameter(one, eid: str, camera: str) -> Dict:
+    """Pupil diameter from lightning-pose traces: |right_x - left_x|
+    cross-checked against |top_y - bottom_y| (``ibl_data_utils.py:530-558``)."""
+    obj = one.load_object(eid, f"{camera}Camera",
+                          attribute=["lightningPose", "times"])
+    lp = _obj_field(obj, "lightningPose")
+    dm1 = np.fabs(np.asarray(lp["pupil_right_r_x"])
+                  - np.asarray(lp["pupil_left_r_x"]))
+    dm2 = np.fabs(np.asarray(lp["pupil_top_r_y"])
+                  - np.asarray(lp["pupil_bottom_r_y"]))
+    assert np.allclose(dm1, dm2)
+    return {"times": np.asarray(_obj_field(obj, "times")), "values": dm1}
+
+
 def load_target_behavior(one, eid: str, target: str, providers: Providers,
                          sess_loader=None) -> Dict:
     """{'times', 'values'} for one behavior signal; {'skip': True} on any
-    loading error (``ibl_data_utils.py:425-599``). Only the targets the
-    reference pipeline actually consumes are implemented."""
+    loading error (``ibl_data_utils.py:425-599``).
+
+    Full reference target surface: wheel position/velocity/speed, left/right
+    whisker motion energy, left/right pupil diameter (DLC-smoothed and
+    lightning-pose variants), the four raw rightCamera pupil point traces,
+    the four <camera>-camera-<side>-paw-speed combinations, and left/right
+    nose-tip speed (speeds via the first-party
+    :func:`video_spike_tpu.data.ibl.dlc_speed`).
+    """
     try:
         if sess_loader is None:
             sess_loader = providers.sess_loader(one, eid)
@@ -259,6 +312,33 @@ def load_target_behavior(one, eid: str, target: str, providers: Providers,
             me = sess_loader.motion_energy[f"{view}Camera"]
             return {"times": me["times"].to_numpy(),
                     "values": me["whiskerMotionEnergy"].to_numpy()}
+        if target in ("left-pupil-diameter", "right-pupil-diameter"):
+            camera = target.split("-")[0]
+            obj = _load_dlc_object(one, eid, camera)
+            features = _obj_field(obj, "features")
+            return {"times": np.asarray(_obj_field(obj, "times")),
+                    "values": np.asarray(features["pupilDiameter_smooth"])}
+        if target in _DLC_PUPIL_COLUMNS:
+            # the reference reads these raw traces from the right camera
+            obj = one.load_object(eid, "rightCamera", collection="alf")
+            dlc_table = _obj_field(obj, "dlc")
+            return {"times": np.asarray(_obj_field(obj, "times")),
+                    "values": np.asarray(dlc_table[_DLC_PUPIL_COLUMNS[target]])}
+        if target in ("lightning-pose-left-pupil-diameter",
+                      "lightning-pose-right-pupil-diameter"):
+            return _lightning_pose_pupil_diameter(one, eid,
+                                                  camera=target.split("-")[2])
+        if target.endswith("-paw-speed") or target.endswith("-nose-speed"):
+            # '<camera>-camera-<side>-paw-speed' | '<camera>-nose-speed'
+            parts = target.split("-")
+            camera = parts[0]
+            feature = ("nose_tip" if parts[1] == "nose"
+                       else {"left": "paw_l", "right": "paw_r"}[parts[2]])
+            obj = _load_dlc_object(one, eid, camera)
+            times = np.asarray(_obj_field(obj, "times"))
+            return {"times": times,
+                    "values": dlc_speed(_obj_field(obj, "dlc"), times,
+                                        camera=camera, feature=feature)}
         raise NotImplementedError(target)
     except Exception as e:  # mirror the reference's skip contract
         print(f"Error loading {target} data: {e}")
