@@ -78,6 +78,7 @@ def test_two_process_real_trainer_epochs(tmp_path):
         "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
         "JAX_NUM_PROCESSES": "2",
         "DCN_SMOKE_FORCE_CPU": "1",
+        "DCN_DEVICE_CACHE": "0",   # pin the per-step streaming path
         "DCN_FIXTURE_DIR": str(fixture),
         "DCN_LOG_DIR": str(log_dir),
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
@@ -108,6 +109,73 @@ def test_two_process_real_trainer_epochs(tmp_path):
     run_dir = next(log_dir.glob("dcntr/*/LinearModel"))
     assert (run_dir / "model_best").exists()
     assert (run_dir / "test_results.npy").exists()
+
+
+@pytest.mark.slow
+def test_two_process_cached_device_dataset(tmp_path):
+    """The multihost HBM trial cache across 2 REAL processes: each rank
+    stages its host-local shard once (shard_map block-local gather), the
+    only per-step H2D is the int32 index array, both ranks agree on every
+    global metric bit-for-bit, and the cached run lands at the same loss
+    scale as the streaming run on the identical fixture."""
+    import json
+
+    from video_spike_tpu.data.synthetic import make_synthetic_session
+
+    fixture = tmp_path / "fix"
+    make_synthetic_session(fixture, eid="dcncache00", n_trials=16,
+                           n_neurons=5, seed=31, height=32, width=32)
+
+    def run(tag: str, device_cache: str):
+        port = _free_port()
+        env_base = dict(os.environ)
+        env_base.pop("JAX_PLATFORMS", None)
+        env_base.update({
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "DCN_SMOKE_FORCE_CPU": "1",
+            "DCN_DEVICE_CACHE": device_cache,
+            "DCN_EID": "dcncache00",
+            "DCN_FIXTURE_DIR": str(fixture),
+            "DCN_LOG_DIR": str(tmp_path / f"logs_{tag}"),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PYTHONPATH": os.pathsep.join(
+                [os.getcwd(), env_base.get("PYTHONPATH", "")]),
+        })
+        procs = []
+        for pid in range(2):
+            env = dict(env_base)
+            env["JAX_PROCESS_ID"] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "video_spike_tpu.parallel.dcn_trainer_smoke"],
+                env=env, cwd=os.getcwd(), stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=280)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out
+        results = []
+        for pid, out in enumerate(outs):
+            m = re.search(rf"pid={pid} result=(\{{.*\}})", out)
+            assert m, out
+            results.append(json.loads(m.group(1)))
+        return results, outs
+
+    cached, cached_outs = run("cached", "1")
+    streaming, _ = run("streaming", "0")
+    # global metrics agree bit-for-bit across processes on both paths
+    assert cached[0] == cached[1], cached
+    assert streaming[0] == streaming[1], streaming
+    # the cached pair actually staged; streaming did not
+    assert cached[0]["cached"] and not streaming[0]["cached"]
+    assert any("multihost epochs are now transfer-free" in o
+               for o in cached_outs)
+    # per-step H2D is just the index array: 4 bytes x local batch rows x
+    # steps — orders of magnitude below one ME trial (120 floats)
+    assert 0 < cached[0]["h2d_bytes"] <= 4 * 4 * 2 * 16
+    # same fixture, same loss scale (not bit-equal: different shuffles)
+    assert abs(cached[0]["test_loss"] - streaming[0]["test_loss"]) < 0.2, (
+        cached[0], streaming[0])
 
 
 @pytest.mark.slow

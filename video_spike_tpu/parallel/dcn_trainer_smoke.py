@@ -65,6 +65,10 @@ def main() -> None:
     config["dirs"]["data_dir"] = data_dir
     config["training"]["num_epochs"] = 2
     config["training"]["train_batch_size"] = 2 * jax.local_device_count()
+    # DCN_DEVICE_CACHE gates the multihost HBM trial cache so the test can
+    # compare the cached and streaming paths head-to-head
+    config["training"]["device_cache"] = (
+        os.environ.get("DCN_DEVICE_CACHE", "1") != "0")
 
     split = split_dataset(data_dir, eid, seed=42)
     # host-local training shard; val/test stay replicated on every process
@@ -81,9 +85,12 @@ def main() -> None:
                           log_dir=log_dir, seed=42)
     assert trainer._multihost, "expected a multi-process runtime"
     res = trainer.train()
-    print(f"pid={pid} result="
-          f"{json.dumps({'best_eval_bps': res['best_eval_bps'], 'test_bps': res['test_res']['test_bps'], 'test_loss': res['test_res']['test_loss']})}",
-          flush=True)
+    out = {"best_eval_bps": res["best_eval_bps"],
+           "test_bps": res["test_res"]["test_bps"],
+           "test_loss": res["test_res"]["test_loss"],
+           "cached": trainer._dev_data is not None,
+           "h2d_bytes": int(getattr(trainer, "_cached_mh_h2d_bytes", 0))}
+    print(f"pid={pid} result={json.dumps(out)}", flush=True)
 
 
 def _multisession(jax, data_dir: str, log_dir: str, eids) -> None:

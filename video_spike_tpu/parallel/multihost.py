@@ -66,6 +66,55 @@ def local_rows_to_global(sharding, *arrays):
                  for a in arrays)
 
 
+def data_axis_blocks(mesh):
+    """Row-block layout of the ``data`` axis: returns ``(mine, g_min,
+    private)`` where ``mine`` is this process's block ids in ascending
+    global order (the order ``make_array_from_process_local_data`` maps
+    contiguous local chunks onto), ``g_min`` the smallest per-process block
+    count, and ``private`` whether EVERY block lives on exactly one process
+    (the standard pod layout: data axis outermost, model within a host).
+    The HBM trial cache requires ``private`` — a block whose model-axis
+    replicas straddle hosts would need identical rows on two hosts, which
+    the host-local file shards cannot provide."""
+    axes = list(mesh.axis_names)
+    devs = np.moveaxis(np.asarray(mesh.devices), axes.index("data"), 0)
+    owners = [{d.process_index for d in devs[b].flat}
+              for b in range(devs.shape[0])]
+    mine = [b for b, procs in enumerate(owners)
+            if jax.process_index() in procs]
+    counts = [0] * jax.process_count()
+    for procs in owners:
+        for p in procs:
+            counts[p] += 1
+    return mine, min(counts), all(len(p) == 1 for p in owners)
+
+
+def make_block_local_take(mesh):
+    """shard_map-local gather over the ``data`` axis: each device takes
+    rows from ITS OWN block of the staged dataset using block-local int32
+    indices — zero collectives (nothing rides ICI or DCN), which is what
+    makes the multihost HBM trial cache safe (a plain ``jnp.take`` on a
+    P('data')-sharded operand would gather across hosts over DCN)."""
+    try:  # jax >= 0.5 top-level API; the experimental path is deprecated
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data")
+
+    def take(x_blk, ap_blk, idx_blk):
+        return (jnp.take(x_blk, idx_blk, axis=0),
+                jnp.take(ap_blk, idx_blk, axis=0))
+
+    kwargs = dict(mesh=mesh, in_specs=(spec, spec, spec),
+                  out_specs=(spec, spec))
+    try:  # jax.shard_map (>=0.7) renamed check_rep -> check_vma
+        return shard_map(take, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(take, check_rep=False, **kwargs)
+
+
 def replicated_rows_to_global(mesh, spec, *arrays):
     """Identical-on-every-host rows -> one globally sharded batch (eval
     path: the val/test loaders are not sharded across hosts)."""

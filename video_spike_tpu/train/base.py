@@ -416,6 +416,8 @@ class BaseTrainer:
             else:
                 train_step = self._fused_inner
 
+        self._train_step_raw = train_step   # unjitted: the multihost HBM
+        # cache wraps it behind a block-local gather (_cached_step_mh)
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_fn = jax.jit(lambda p, x: model.apply(p, x))
         if self._frozen_split:
@@ -453,9 +455,8 @@ class BaseTrainer:
         if self._dev_data is not None:
             return True
         if self._multihost:
-            # the HBM trial cache's per-step global index gather would ride
-            # DCN every step across hosts; multihost streams host-local
-            # shards instead (shuffle-within-shard, standard DDP practice)
+            # multihost staging lives in _stage_device_dataset_multihost
+            # (host-local shards + shard_map block-local gather)
             return False
         if not self._device_cache_enabled:
             return False
@@ -624,8 +625,123 @@ class BaseTrainer:
             "lr": float(self.schedule(self._global_step)),
         }
 
+    def _stage_device_dataset_multihost(self) -> bool:
+        """Multihost HBM trial cache: each process stages its HOST-LOCAL
+        file shard once, split evenly across the data-axis row blocks its
+        devices own, and every later epoch is transfer-free — the only
+        per-step H2D is the tiny int32 index array (tracked in
+        ``_cached_mh_h2d_bytes``), never the batch itself. The gather runs
+        as a shard_map block-local ``jnp.take`` (zero collectives), so the
+        DCN concern that forced streaming before does not arise; sampling
+        shuffles WITHIN each device block (the DDP shuffle-within-shard
+        contract, one granularity finer than the streaming path's
+        shuffle-within-host). Falls back to the streaming path — agreed on
+        by ALL processes via collectives, never one-sided — when a row
+        block straddles hosts, the global batch does not divide the data
+        axis, a shard is too small, or any process would blow the HBM cap.
+        """
+        if self._dev_data is not None:
+            return True
+        if not self._device_cache_enabled:
+            return False
+        if getattr(self, "_mh_cache_failed", False):
+            return False
+
+        n_data = self.mesh.shape["data"]
+        bs_global = self.config.training.train_batch_size * jax.process_count()
+        mine, g_min, private = mh.data_axis_blocks(self.mesh)
+        if not private or g_min == 0 or bs_global % n_data:
+            self.log.info(
+                "multihost trial cache unavailable (blocks private across "
+                f"hosts: {private}, min blocks/process: {g_min}, global "
+                f"batch {bs_global} vs data axis {n_data}); streaming")
+            self._mh_cache_failed = True
+            return False
+        rpb = bs_global // n_data   # batch rows gathered per device block
+
+        xs, aps = [], []
+        for batch in self.train_loader:
+            xs.append(self._assemble_inputs(batch))
+            aps.append(np.asarray(batch["ap"], dtype=np.float32))
+        g = len(mine)
+        n_local = sum(x.shape[0] for x in xs)
+        # every block everywhere must hold the SAME row count R (a global
+        # array is rectangular), so R is the all-process minimum; the
+        # ≤(g-1)+imbalance local rows beyond g*R are dropped from the pool
+        # (documented DDP drop_last analog; shards are near-balanced)
+        r_block = mh.global_min(n_local // g if g else 0)
+        over = False
+        if r_block >= rpb:
+            x_loc = np.concatenate(xs, axis=0)[: g * r_block]
+            a_loc = np.concatenate(aps, axis=0)[: g * r_block]
+            over = x_loc.nbytes + a_loc.nbytes > self._device_cache_gb * 1e9
+        if mh.global_any(r_block < rpb or over):
+            self.log.info(
+                f"multihost trial cache fallback (rows/block {r_block} vs "
+                f"{rpb} needed, over-cap: {over}); streaming per step")
+            self._mh_cache_failed = True
+            return False
+
+        self._init_if_needed(x_loc[:1])
+        global_rows = n_data * r_block
+        self._dev_data = (
+            jax.make_array_from_process_local_data(
+                self.batch_shd, x_loc, (global_rows,) + x_loc.shape[1:]),
+            jax.make_array_from_process_local_data(
+                self.batch_shd, a_loc, (global_rows,) + a_loc.shape[1:]))
+        self._mh_cache = {"R": r_block, "g": g, "rpb": rpb,
+                          "steps": r_block // rpb}
+        self._cached_mh_h2d_bytes = 0
+        self.log.info(
+            f"staged {(x_loc.nbytes + a_loc.nbytes) / 1e6:.0f} MB of local "
+            f"trials in HBM ({g} blocks x {r_block} rows; "
+            f"{self._mh_cache['steps']} steps/epoch); multihost epochs are "
+            f"now transfer-free")
+
+        take = mh.make_block_local_take(self.mesh)
+        train_step = self._train_step_raw
+
+        def cached_step(params, opt_state, x_all, ap_all, idx, n_valid,
+                        seed):
+            x, ap = take(x_all, ap_all, idx)
+            return train_step(params, opt_state, x, ap, n_valid, seed)
+
+        self._cached_step_mh = jax.jit(cached_step, donate_argnums=(0, 1))
+        return True
+
+    def _train_epoch_cached_multihost(self) -> dict:
+        x_all, ap_all = self._dev_data
+        info = self._mh_cache
+        r_block, g, rpb, steps = (info["R"], info["g"], info["rpb"],
+                                  info["steps"])
+        # fresh within-block permutations every epoch (host-local RNG;
+        # the step count is globally fixed, so streams may diverge freely)
+        perms = np.stack(
+            [self._rng.permutation(r_block) for _ in range(g)])
+        n_valid = jnp.float32(self.mesh.shape["data"] * rpb)
+        global_idx_shape = (self.mesh.shape["data"] * rpb,)
+        losses = []
+        for s in range(steps):
+            idx_loc = np.ascontiguousarray(
+                perms[:, s * rpb:(s + 1) * rpb].reshape(-1), dtype=np.int32)
+            idx = jax.make_array_from_process_local_data(
+                self.batch_shd, idx_loc, global_idx_shape)
+            self._cached_mh_h2d_bytes += idx_loc.nbytes
+            self.params, self.opt_state, loss = self._cached_step_mh(
+                self.params, self.opt_state, x_all, ap_all, idx, n_valid,
+                jnp.uint32(self._global_step & 0xFFFFFFFF))
+            losses.append(loss)
+            self._global_step += 1
+        loss_vals = np.asarray(jnp.stack(losses))  # one sync per epoch
+        return {
+            "train_loss": round(float(loss_vals.mean()), 5),
+            "lr": float(self.schedule(self._global_step)),
+        }
+
     def train_epoch(self) -> dict:
         if self._multihost:
+            if self._stage_device_dataset_multihost():
+                return self._train_epoch_cached_multihost()
             return self._train_epoch_multihost()
         if self._stage_device_dataset():
             return self._train_epoch_cached()
