@@ -51,6 +51,9 @@ def main() -> None:
     log_dir = os.environ["DCN_LOG_DIR"]
     eid = os.environ.get("DCN_EID", "dcntrain00")
 
+    if os.environ.get("DCN_MODE") == "tensor":
+        _tensor_sharded(jax)
+        return
     if os.environ.get("DCN_MODE") == "ssl":
         _ssl(jax, os.environ["DCN_H5"], log_dir, eid)
         return
@@ -91,6 +94,83 @@ def main() -> None:
            "cached": trainer._dev_data is not None,
            "h2d_bytes": int(getattr(trainer, "_cached_mh_h2d_bytes", 0))}
     print(f"pid={pid} result={json.dumps(out)}", flush=True)
+
+
+def _tensor_sharded(jax) -> None:
+    """Tensor sharding whose ``model`` axis SPANS the process boundary —
+    the layout where sharding-spec bugs live. Builds a {data:2, model:4}
+    mesh over 2 processes x 4 virtual devices with the model axis
+    interleaved across hosts, runs 3 full VTT training steps with the
+    PRODUCTION sharding rules (``__graft_entry__._vtt_sharding_rules``),
+    and asserts the session-head / wide-MLP kernel specs survive the
+    update. Both ranks must print identical losses (the psum over the
+    model axis rides DCN here)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as graft
+    from video_spike_tpu.parallel import multihost as mh
+    from video_spike_tpu.train.multisession import masked_poisson_nll
+
+    pid = jax.process_index()
+    devices = jax.devices()
+    assert len(devices) == 8, f"expected 8 global devices, got {len(devices)}"
+    # reshape(4,2).T interleaves: data row 0 = [d0,d2,d4,d6] — its model
+    # axis holds devices of BOTH processes
+    arr = np.array(devices).reshape(4, 2).T
+    mesh = Mesh(arr, axis_names=("data", "model"))
+    for row in arr:
+        assert len({d.process_index for d in row}) == 2, (
+            "model axis does not span processes")
+
+    t_frames, t_bins, max_n = 12, 100, 32
+    batch = mesh.shape["data"] * 2
+    model = graft._flagship(n_sessions=3, max_neurons=max_n,
+                            t_frames=t_frames, hidden=128)
+    rng = np.random.default_rng(7)   # same seed -> same batch on each host
+    video = rng.integers(0, 255, (batch, t_frames, 1, 32, 32), dtype=np.uint8)
+    ap = rng.poisson(1.0, (batch, t_bins, max_n)).astype(np.float32)
+    sids = rng.integers(0, 3, (batch,)).astype(np.int32)
+    nmask = np.ones((batch, max_n), np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(video[:1]),
+                        jnp.asarray(sids[:1]))
+    rules = graft._vtt_sharding_rules(params, mesh)
+    params = mh.put_tree(jax.device_get(params), rules)
+    tx = optax.adamw(optax.cosine_onecycle_schedule(100, 5e-5),
+                     weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, video, ap, sids, nmask, n_valid):
+        def loss_fn(p):
+            out = model.apply(p, video, sids)
+            return masked_poisson_nll(out, ap, nmask, n_valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # data blocks are shared across hosts here (model spans processes), so
+    # every host feeds the SAME global batch: replicated rows -> sharded
+    batch_args = mh.replicated_rows_to_global(
+        mesh, P("data"), video, ap, sids, nmask)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(*((params, opt_state) + batch_args),
+                                       jnp.float32(batch))
+        losses.append(round(float(loss), 8))
+    heads = params["params"]["session_heads"]
+    assert heads.sharding.spec == P(None, None, "model"), heads.sharding
+    mlp = params["params"]["frame_encoder"]["Block_0"]["Dense_0"]["kernel"]
+    assert mlp.sharding.spec == P(None, "model"), mlp.sharding
+    assert all(np.isfinite(losses)), losses
+    print(f"pid={pid} result="
+          f"{json.dumps({'losses': losses, 'head_spec': str(heads.sharding.spec), 'mlp_spec': str(mlp.sharding.spec)})}",
+          flush=True)
 
 
 def _multisession(jax, data_dir: str, log_dir: str, eids) -> None:

@@ -145,3 +145,19 @@ def replicate_tree(tree, sharding):
             a.shape, sharding, lambda idx, a=a: a[idx])
 
     return jax.tree.map(put, tree)
+
+
+def put_tree(tree, shardings):
+    """Host tree -> globally SHARDED arrays from full host-resident values
+    — the tensor-parallel generalization of :func:`replicate_tree` (e.g.
+    model-axis-sharded params when the ``model`` axis spans processes,
+    where ``jax.device_put`` cannot reach the other host's devices)."""
+    if not is_multihost():
+        return jax.device_put(tree, shardings)
+
+    def put(a, s):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, s, lambda idx, a=a: a[idx])
+
+    return jax.tree.map(put, tree, shardings)
