@@ -148,8 +148,18 @@ def test_test_cli(h5_fixture, tmp_path, monkeypatch):
     src = tmp_path / "logs" / "cafe00000" / "ContrastViT" / "2"
     dst = tmp_path / "logs" / "cafe00000" / "ContrastViT" / "40000"
     os.symlink(src, dst)
-    bps = test_main(common)
+    plots = tmp_path / "plots"
+    bps = test_main(common + ["--save_plot", "--plot_dir", str(plots)])
     assert len(bps) == 1 and np.isfinite(bps[0])
+    # the full reference --save_plot surface (src/test.py:186-239): train +
+    # first-test-trial embedding PNGs, then per-trial raw-video GIFs and
+    # animated embedding GIFs for the first <=5 test trials (2 here)
+    assert (plots / "c_cafe0_embed.png").exists()
+    assert (plots / "test_embed_c_cafe0.png").exists()
+    for idx in range(2):
+        assert (plots / f"test_c_cafe0_{idx}.gif").exists()
+        assert (plots / f"test_embed_c_cafe0_{idx}.gif").exists()
+    assert not (plots / "test_c_cafe0_5.gif").exists()
 
 
 def test_ssl_resume_continues(h5_fixture, tmp_path):

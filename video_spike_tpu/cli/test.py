@@ -34,6 +34,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--h5_path", type=str,
                         default="data/data_rrr_whisker-video.h5")
+    # the reference writes its --save_plot artifacts into the CWD
+    # (src/test.py:187-236); an explicit dir keeps that default but makes
+    # the surface scriptable
+    parser.add_argument("--plot_dir", type=str, default=".")
     extra, rest = parser.parse_known_args(argv)
     args = get_args(rest)
     config = config_from_kwargs({"model": f"include:{args.model_config}"})
@@ -90,9 +94,41 @@ def main(argv=None):
         test_bps.append(bps)
 
         if args.save_plot:
-            from video_spike_tpu.viz.embeddings import plot_embeddings
+            # the full reference --save_plot surface (src/test.py:186-239):
+            # a train-embedding PNG, a first-test-trial embedding PNG, then
+            # per-trial raw-video GIFs + animated embedding-trajectory GIFs
+            # for the first 5 test trials (the reference breaks at idx > 3
+            # AFTER processing idx 4)
+            import matplotlib.pyplot as plt
+
+            from video_spike_tpu.viz.embeddings import (
+                plot_embeddings, plot_embeddings_anim,
+                save_numpy_video_to_gif)
+
+            out_dir = Path(extra.plot_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
             fig = plot_embeddings(train_emb.reshape(-1, e_dim))
-            fig.savefig(f"{args.model}_{eid[:5]}_embed.png")
+            fig.savefig(out_dir / f"{args.model}_{eid[:5]}_embed.png")
+            plt.close(fig)
+            fig = plot_embeddings(
+                test_emb[0], title=f"{args.model}_{eid[:5]}_embed_test")
+            fig.savefig(out_dir / f"test_embed_{args.model}_{eid[:5]}.png")
+            plt.close(fig)
+            for idx, batch in enumerate(test_dl):
+                video = np.asarray(batch["ref"])
+                if video.ndim == 5:   # (1, T, C, H, W) batch of one trial
+                    video = video[0]
+                save_numpy_video_to_gif(
+                    video,
+                    str(out_dir / f"test_{args.model}_{eid[:5]}_{idx}.gif"),
+                    fps=10)
+                plot_embeddings_anim(
+                    test_emb[idx],
+                    str(out_dir /
+                        f"test_embed_{args.model}_{eid[:5]}_{idx}.gif"),
+                    fps=10)
+                if idx > 3:
+                    break
 
     log.info(f"per-eid bps: {[round(b, 5) for b in test_bps]}")
     log.info(f"mean bps: {np.mean(test_bps):.5f}")

@@ -64,7 +64,8 @@ def plot_embeddings_anim(embeddings: np.ndarray, save_path: str,
         buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
         frames.append(buf.copy())
         plt.close(fig)
-    imageio.mimsave(save_path, frames, fps=fps)
+    # imageio >= 2.28 deprecated fps= for GIFs; duration is ms per frame
+    imageio.mimsave(save_path, frames, duration=1000.0 / fps)
     return save_path
 
 
@@ -80,5 +81,5 @@ def save_numpy_video_to_gif(video: np.ndarray, save_path: str,
         video = video[..., 0]
     if video.dtype != np.uint8:
         video = float32_to_uint8(video)
-    imageio.mimsave(save_path, list(video), fps=fps)
+    imageio.mimsave(save_path, list(video), duration=1000.0 / fps)
     return save_path
