@@ -162,6 +162,110 @@ def test_test_cli(h5_fixture, tmp_path, monkeypatch):
     assert not (plots / "test_c_cafe0_5.gif").exists()
 
 
+def test_sampler_state_skip_replays_epoch(h5_fixture):
+    """(sampler_state snapshot, skip=k) replays an epoch's batch stream
+    bit-exactly from batch k — the dataset contract behind ContrastTrainer
+    mid-epoch resume (fast-forward consumes the skipped pos/neg draws)."""
+    data = load_h5_file(str(h5_fixture), "cafe00000")
+    ds = ContrastDataset(data["cafe00000"], mode="pretrain", idx_offset=3,
+                         seed=0)
+    snap = ds.sampler_state()
+    original = []
+    it = ds.iter_batches(16, shuffle=True)
+    for _ in range(6):
+        original.append(next(it))
+    ds.set_sampler_state(snap)
+    replay = ds.iter_batches(16, shuffle=True, skip=4)
+    for k in (4, 5):
+        batch = next(replay)
+        for key in ("ref", "pos", "neg"):
+            np.testing.assert_array_equal(batch[key], original[k][key])
+
+
+def test_ssl_mid_epoch_resume_bit_exact(h5_fixture, tmp_path):
+    """Preempt mid-epoch at step 5, resume, run to 10: params must be
+    BIT-identical to an uninterrupted 10-step run — the sampler sidecar
+    restores the epoch-start rng and fast-forwards the 5 consumed batches,
+    so the resumed run trains on exactly the batches the uninterrupted run
+    would have (VERDICT r3 weak #4: the loader previously restarted the
+    epoch with a fresh shuffle)."""
+    import jax
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+
+    def make_trainer(tag, max_steps):
+        dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
+                                     batch_size=16, shuffle=True, **common)
+        train_dl, _ = make_contrast_loader(str(h5_fixture), mode="train",
+                                           batch_size=16, shuffle=False,
+                                           **common)
+        val_dl, _ = make_contrast_loader(str(h5_fixture), mode="val",
+                                         batch_size=16, shuffle=False,
+                                         **common)
+        model = NAME2MODEL["ContrastViT"].from_config(TINY_VIT)
+        return ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=max_steps,
+            eid="cafe00000", log_dir=str(tmp_path / tag), image_size=32,
+            seed=0, validate_every=10**6)
+
+    a = make_trainer("ab", 5)          # "preempted" mid-epoch (150 batches)
+    a.fit()
+    assert os.path.exists(os.path.join(a.log_dir, "last_model.sampler.json"))
+
+    b = make_trainer("ab", 5)          # same log dir -> finds the ckpt
+    assert b.resume()
+    assert b._resume_skip == 5
+    b.max_steps = 10
+    b.fit()
+
+    c = make_trainer("c", 10)          # uninterrupted control
+    c.fit()
+
+    for x, y in zip(jax.tree.leaves(b.params), jax.tree.leaves(c.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ssl_frame_cache_matches_streaming(h5_fixture, tmp_path):
+    """The HBM frame cache (on-device index gather) must train bit-
+    identically to the streamed per-batch pipeline: same uint8 rows in,
+    same math after. Also checks the cache actually engaged / was refused
+    by the byte cap."""
+    import jax
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+
+    def run(tag, frame_cache_gb):
+        dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
+                                     batch_size=16, shuffle=True, **common)
+        train_dl, _ = make_contrast_loader(str(h5_fixture), mode="train",
+                                           batch_size=16, shuffle=False,
+                                           **common)
+        val_dl, _ = make_contrast_loader(str(h5_fixture), mode="val",
+                                         batch_size=16, shuffle=False,
+                                         **common)
+        model = NAME2MODEL["ContrastViT"].from_config(TINY_VIT)
+        tr = ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=4, eid="cafe00000",
+            log_dir=str(tmp_path / tag), image_size=32, seed=0,
+            validate_every=10**6, frame_cache_gb=frame_cache_gb)
+        tr.fit()
+        return tr
+
+    cached = run("cached", 2.0)
+    streamed = run("streamed", 0.0)
+    assert cached._frame_cache is not None
+    assert streamed._frame_cache is None
+    for x, y in zip(jax.tree.leaves(cached.params),
+                    jax.tree.leaves(streamed.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_ssl_resume_continues(h5_fixture, tmp_path):
     """last_model (params+opt+step+best) written on early stop round-trips
     through ContrastTrainer.resume: the second fit() continues from the

@@ -104,18 +104,31 @@ class ContrastDataset:
             clash = neg == idx
         return neg
 
+    # -- sampler checkpointing (mid-epoch resume) ---------------------------
+    def sampler_state(self) -> Dict:
+        """JSON-serializable snapshot of the sampling stream: the numpy
+        Generator's bit-generator state (PCG64 ints are arbitrary-precision,
+        JSON-safe in Python) plus the multihost epoch counter. Capture it
+        BEFORE an epoch's ``iter_batches`` call and :meth:`set_sampler_state`
+        + ``skip=`` replays that epoch's batch stream exactly."""
+        return {"rng_state": self.rng.bit_generator.state,
+                "epoch": self._epoch}
+
+    def set_sampler_state(self, state: Dict,
+                          restore_rng: bool = True) -> None:
+        if restore_rng:
+            self.rng.bit_generator.state = state["rng_state"]
+        self._epoch = int(state["epoch"])
+
     # -- batching ------------------------------------------------------------
-    def iter_batches(self, batch_size: int, shuffle: bool = True,
-                     rank: int = 0,
-                     world: int = 1) -> Iterator[Dict[str, np.ndarray]]:
-        """``rank``/``world`` stride the shuffled frame order across
-        processes (the DDP DistributedSampler contract the reference's
-        ``accelerate launch`` relies on): every rank derives the SAME
-        permutation from (seed, epoch) — never from ``self.rng``, whose
-        state diverges per rank through the pos/neg draws — takes
-        ``order[rank::world]``, and still samples positives/negatives from
-        the FULL frame array, so temporal ±offset neighborhoods survive
-        sharding."""
+    def iter_index_batches(self, batch_size: int, shuffle: bool = True,
+                           rank: int = 0, world: int = 1,
+                           skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Like :meth:`iter_batches` but yields frame INDICES instead of
+        frames — the HBM frame cache's input (the trainer gathers rows on
+        device, so per-step H2D is a few KB of int32 instead of MBs of
+        video). Draws from the same rng stream in the same order, so
+        sampler snapshots/skip replay identically across both forms."""
         order = np.arange(len(self))
         if shuffle:
             if world > 1:
@@ -128,14 +141,41 @@ class ContrastDataset:
             order = order[rank::world]
         for s in range(0, len(order), batch_size):
             idx = order[s:s + batch_size]
+            if skip > 0:
+                # mid-epoch resume fast-forward: consume the pos/neg draws
+                # (keeping the rng stream bit-aligned with the original
+                # epoch) without yielding
+                skip -= 1
+                if self.mode == "pretrain":
+                    self._pos_idx(idx)
+                    self._neg_idx(idx)
+                continue
             if self.mode == "pretrain":
-                yield {
-                    "ref": self.video[idx],
-                    "pos": self.video[self._pos_idx(idx)],
-                    "neg": self.video[self._neg_idx(idx)],
-                }
+                yield {"ref": idx, "pos": self._pos_idx(idx),
+                       "neg": self._neg_idx(idx)}
             else:
-                yield {"ref": self.video[idx], "neural": self.labels[idx]}
+                yield {"ref": idx}
+
+    def iter_batches(self, batch_size: int, shuffle: bool = True,
+                     rank: int = 0, world: int = 1,
+                     skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """``rank``/``world`` stride the shuffled frame order across
+        processes (the DDP DistributedSampler contract the reference's
+        ``accelerate launch`` relies on): every rank derives the SAME
+        permutation from (seed, epoch) — never from ``self.rng``, whose
+        state diverges per rank through the pos/neg draws — takes
+        ``order[rank::world]``, and still samples positives/negatives from
+        the FULL frame array, so temporal ±offset neighborhoods survive
+        sharding."""
+        for ib in self.iter_index_batches(batch_size, shuffle=shuffle,
+                                          rank=rank, world=world, skip=skip):
+            if self.mode == "pretrain":
+                yield {"ref": self.video[ib["ref"]],
+                       "pos": self.video[ib["pos"]],
+                       "neg": self.video[ib["neg"]]}
+            else:
+                yield {"ref": self.video[ib["ref"]],
+                       "neural": self.labels[ib["ref"]]}
 
 
 def make_contrast_loader(dataset_path: str, mode: str = "pretrain",

@@ -21,29 +21,56 @@ import numpy as np
 _SENTINEL = object()
 
 
-def _producer(it: Iterable, q: "queue.Queue", err: list) -> None:
+def _producer(it: Iterable, q: "queue.Queue", err: list,
+              stop: "threading.Event") -> None:
     try:
         for item in it:
-            q.put(item)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
     except BaseException as e:  # propagate to consumer
         err.append(e)
     finally:
-        q.put(_SENTINEL)
+        # the sentinel must land even when the queue is momentarily full
+        # (normal exhaustion with a slow consumer), but must not block
+        # forever once the consumer has abandoned the queue (stop set)
+        while not stop.is_set():
+            try:
+                q.put(_SENTINEL, timeout=0.05)
+                break
+            except queue.Full:
+                continue
 
 
 def background(iterable: Iterable, depth: int = 2) -> Iterator:
-    """Run `iterable` in a daemon thread, yielding with `depth` readahead."""
+    """Run `iterable` in a daemon thread, yielding with `depth` readahead.
+
+    Closing the generator (``.close()``, or abandoning it) stops the
+    producer thread and JOINS it, so after close no code touches the source
+    iterable or its rng streams — callers that snapshot sampler state for
+    mid-epoch resume (``ContrastTrainer.fit``) rely on this quiescence."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err: list = []
-    t = threading.Thread(target=_producer, args=(iterable, q, err), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(target=_producer, args=(iterable, q, err, stop),
+                         daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
 
 
 def device_put_batch(batch: Dict, sharding=None,

@@ -17,6 +17,13 @@ the encoder runs a single large MXU batch instead of three small ones;
 uint8 frames are resized/normalized on device; the nested RRR validation is
 the closed-form ALS fit from :mod:`video_spike_tpu.train.rrr_pipeline`
 (~3 s warm at recipe shape) instead of a torch LBFGS rebuild per validation.
+Input pipeline (round 4): the whole pretrain frame array is staged in HBM
+once (uint8, replicated) and each step gathers its triplet ON DEVICE from
+int32 indices — per-step H2D drops from 6.5 MB of video to ~1.5 KB, because
+even a producer-thread double-buffered transfer leaves ~25 ms/step of the
+131 ms ViT-Base step un-hidden through the host link
+(scripts/profile_ssl_input.py; BASELINE.md "SSL input path"). Datasets over
+``frame_cache_gb`` fall back to the streamed producer-thread pipeline.
 
 Distributed: this is the reference's only multi-device training path
 (``accelerate launch`` DDP over <=3 GPUs, ``/root/reference/src/
@@ -76,7 +83,8 @@ class ContrastTrainer:
                  eid: str = "", log_dir: str = "logs",
                  image_size: int = 144, seed: int = 42, log=None,
                  validate_every: Optional[int] = None, mesh=None,
-                 device_cache_gb: float = 6.0):
+                 device_cache_gb: float = 6.0,
+                 frame_cache_gb: float = 2.0):
         self.model = model
         self.data_loader = data_loader
         self.val_data_loader = val_data_loader
@@ -157,12 +165,26 @@ class ContrastTrainer:
         self._best_params = None
         self._start_step = 0
         self._best_bps = -np.inf
+        # mid-epoch resume: sampler snapshot at the current epoch's start +
+        # how many batches of it the train loop has consumed (see resume())
+        self._sampler_epoch_start = None
+        self._epoch_consumed = 0
+        self._resume_skip = 0
         # transform-loader staging cache: weakly keyed so a dead loader's
         # device buffers evict (an id()-keyed dict could silently serve
         # stale frames to a new loader at a recycled address), byte-capped
         # so large val/test splits fall back to streaming embeds
         self._transform_cache = weakref.WeakKeyDictionary()
         self._device_cache_gb = float(device_cache_gb)
+        # HBM frame cache for the pretrain loader: the whole uint8 frame
+        # array staged (replicated) once, steps gather rows ON DEVICE by
+        # int32 index — per-step H2D drops from MBs of video to a few KB
+        # (measured: the streamed transfer leaves ~25 ms/step un-hidden at
+        # the ViT-Base recipe shape even when double-buffered off-thread;
+        # scripts/profile_ssl_input.py / BASELINE.md "SSL input path")
+        self._frame_cache_gb = float(frame_cache_gb)
+        self._frame_cache = None
+        self._frame_cache_tried = False
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -222,6 +244,20 @@ class ContrastTrainer:
             return params, opt_state, loss, aux
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        trip_shd, batch_shd = self.trip_shd, self.batch_shd
+
+        def train_step_cached(params, opt_state, cache, idx, key):
+            # replicated cache + data-sharded idx -> each device gathers
+            # its own rows locally (no collectives); the constraint makes
+            # the intended batch layout explicit to XLA
+            triplet = jnp.take(cache, idx, axis=0)
+            triplet = jax.lax.with_sharding_constraint(
+                triplet, batch_shd if is_mae else trip_shd)
+            return train_step(params, opt_state, triplet, key)
+
+        self._train_step_cached = jax.jit(train_step_cached,
+                                          donate_argnums=(0, 1))
         self._embed_fn = jax.jit(
             lambda p, frames: model.apply(
                 p, device_frame_transform(frames, image_size),
@@ -237,7 +273,60 @@ class ContrastTrainer:
             n_data //= jax.process_count()
         return n - (n % n_data)
 
-    def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Optional[Dict]:
+    def _maybe_stage_frames(self) -> bool:
+        """Stage the pretrain loader's whole uint8 frame array in HBM once
+        (replicated on every device/host). Returns True when the cache is
+        live; False (with the reason logged) falls back to the streamed
+        per-batch pipeline. One-shot: the decision is made on first call."""
+        if self._frame_cache is not None:
+            return True
+        if self._frame_cache_tried:
+            return False
+        self._frame_cache_tried = True
+        ds = getattr(self.data_loader, "dataset", None)
+        video = getattr(ds, "video", None)
+        if video is None or getattr(ds, "mode", "") != "pretrain":
+            return False
+        gb = video.nbytes / 1e9
+        if gb > self._frame_cache_gb:
+            self.log.info(
+                f"pretrain frames ({gb:.2f} GB) exceed the "
+                f"{self._frame_cache_gb} GB HBM frame cache; streaming "
+                f"batches instead")
+            return False
+        self._init_if_needed(np.asarray(video[:1]))
+        self._frame_cache = self._replicate(np.asarray(video))
+        self.log.info(
+            f"staged {video.shape[0]} pretrain frames ({gb * 1e3:.0f} MB "
+            f"uint8) in HBM; per-step H2D is the int32 index array")
+        return True
+
+    def _stage_index_batch(self, ib: Dict[str, np.ndarray]):
+        """Index batch -> globally sharded int32 device array (or None for
+        a batch truncated to zero rows). Runs in fit()'s producer thread."""
+        b = self._truncate_rows(np.asarray(ib["ref"]).shape[0])
+        if b == 0:
+            return None
+        if self.model_name == "MAE":
+            idx = np.asarray(ib["ref"][:b], dtype=np.int32)
+            shd = self.batch_shd
+        else:
+            idx = np.stack([ib["ref"][:b], ib["pos"][:b],
+                            ib["neg"][:b]]).astype(np.int32)
+            shd = self.trip_shd
+        if self._multihost:
+            idx_dev, = mh.local_rows_to_global(shd, idx)
+        else:
+            idx_dev = jax.device_put(idx, shd)
+        return idx_dev
+
+    def _stage_step_batch(self, batch: Dict[str, np.ndarray]):
+        """Host batch -> globally sharded device triplet (or None for a
+        batch truncated to zero rows). Runs in fit()'s PRODUCER thread so
+        the H2D transfer double-buffers under the previous step's compute
+        (measured on the chip at the ViT-Base recipe shape: the same
+        transfer issued on the dispatch thread leaves ~47 ms/step of input
+        cost un-hidden — scripts/profile_ssl_input.py, BASELINE.md)."""
         self._init_if_needed(batch["ref"])
         b = self._truncate_rows(np.asarray(batch["ref"]).shape[0])
         if b == 0:
@@ -255,23 +344,67 @@ class ContrastTrainer:
             trip_dev, = mh.local_rows_to_global(shd, trip)
         else:
             trip_dev = jax.device_put(trip, shd)
-        self.params, self.opt_state, loss, aux = self._train_step(
-            self.params, self.opt_state, trip_dev, self._next_key())
+        return trip_dev
+
+    def _step_staged(self, staged, cur_step: int) -> Dict:
+        """One dispatched train step on a producer-staged input: an int32
+        index array when the HBM frame cache is live, a device triplet
+        otherwise."""
+        if self._frame_cache is not None:
+            self.params, self.opt_state, loss, aux = self._train_step_cached(
+                self.params, self.opt_state, self._frame_cache, staged,
+                self._next_key())
+        else:
+            self.params, self.opt_state, loss, aux = self._train_step(
+                self.params, self.opt_state, staged, self._next_key())
         # keep device scalars: a device_get here costs a ~100 ms tunnel
         # round-trip per step (the step itself is ~16 ms); fit() converts
         # lazily at the logging cadence
         return {"cur_step": cur_step, "loss": loss, **aux}
 
-    def _epoch_batches(self):
+    def _step(self, batch: Dict[str, np.ndarray], cur_step: int) -> Optional[Dict]:
+        trip_dev = self._stage_step_batch(batch)
+        if trip_dev is None:
+            return None
+        return self._step_staged(trip_dev, cur_step)
+
+    def _staged_epoch_stream(self, skip: int = 0, depth: int = 2):
+        """Background pipeline for one epoch: host sampling AND the
+        device_put both run in the producer thread with ``depth`` staged
+        batches of readahead. With the HBM frame cache live the items are
+        int32 index arrays (KBs); otherwise full device triplets (MBs)."""
+        cached = self._frame_cache is not None
+
+        def staged():
+            if cached:
+                for ib in self._epoch_batches(skip=skip, index=True):
+                    yield self._stage_index_batch(ib)
+            else:
+                for b in self._epoch_batches(skip=skip):
+                    yield self._stage_step_batch(b)
+
+        return background(staged(), depth=depth)
+
+    def _epoch_batches(self, skip: int = 0, index: bool = False):
         """One pass over the pretrain loader. Single-process: the loader's
         own iterator. Multi-process: every rank walks its stride of the
         epoch-seeded shuffled frame order (the DDP sampler contract behind
         the reference's ``accelerate launch``) with drop-last plus a global
         agreement on the step count — each train step is a collective over
         the global mesh, so all ranks must dispatch exactly the same number
-        of batches or the stragglers deadlock."""
+        of batches or the stragglers deadlock.
+
+        ``skip`` (mid-epoch resume) fast-forwards past the first ``skip``
+        batches of the epoch while keeping the sampling rng stream aligned
+        (the dataset consumes the skipped batches' pos/neg draws)."""
         if not self._multihost:
-            return iter(self.data_loader)
+            if skip == 0 and not index:
+                return iter(self.data_loader)
+            ds = self.data_loader.dataset
+            bs = self.data_loader.batch_size
+            shuffle = getattr(self.data_loader, "shuffle", True)
+            fn = ds.iter_index_batches if index else ds.iter_batches
+            return fn(bs, shuffle=shuffle, skip=skip)
         rank, world = jax.process_index(), jax.process_count()
         ds = self.data_loader.dataset
         bs = self.data_loader.batch_size
@@ -282,12 +415,18 @@ class ContrastTrainer:
             raise ValueError(
                 f"local frame shard ({local_n}) smaller than the local "
                 f"batch size ({bs}); shrink the batch or the process count")
+        # a rank's shard is full batches + at most one ragged tail, so the
+        # first `skip <= steps` positional batches are all full ones: the
+        # dataset-level skip and the drop-last step count stay consistent
+        remaining = max(steps - skip, 0)
+
+        fn = ds.iter_index_batches if index else ds.iter_batches
 
         def gen():
             done = 0
-            for b in ds.iter_batches(bs, shuffle=shuffle, rank=rank,
-                                     world=world):
-                if done >= steps:
+            for b in fn(bs, shuffle=shuffle, rank=rank, world=world,
+                        skip=skip):
+                if done >= remaining:
                     break
                 if np.asarray(b["ref"]).shape[0] < bs:
                     continue  # ragged tail (drop-last semantics)
@@ -299,6 +438,7 @@ class ContrastTrainer:
         from video_spike_tpu.core.preempt import graceful_stop
 
         self.log.info("Starting fitting!")
+        self._maybe_stage_frames()
         current_step = self._start_step
         best_bps = self._best_bps
         start = time.time()
@@ -306,22 +446,39 @@ class ContrastTrainer:
         stop = False
         with graceful_stop(self.log) as preempted:
             while current_step < self.max_steps and not stop:
-                for batch in background(self._epoch_batches(), depth=2):
-                    logs = self._step(batch, current_step)
-                    if logs is None:   # short batch truncated to zero rows
-                        continue
-                    if current_step % 50 == 0:
-                        logs = {k: (float(v) if hasattr(v, "dtype") else v)
-                                for k, v in logs.items()}
-                        self.tracker.log(logs, step=current_step)
-                        self.log.info(f"{logs}")
-                        if self._multihost and mh.global_any(bool(preempted)):
-                            stop = True  # globally agreed mid-pass stop
-                    current_step += 1
-                    if current_step >= self.max_steps or stop:
-                        break
-                    if not self._multihost and preempted:
-                        break
+                # snapshot the sampler BEFORE the epoch iterator draws its
+                # shuffle: (snapshot, consumed) checkpointed by _save_last
+                # lets resume() replay this epoch's stream exactly
+                ds = getattr(self.data_loader, "dataset", None)
+                if ds is not None and hasattr(ds, "sampler_state"):
+                    self._sampler_epoch_start = ds.sampler_state()
+                skip, self._resume_skip = self._resume_skip, 0
+                self._epoch_consumed = skip
+                stream = self._staged_epoch_stream(skip=skip)
+                try:
+                    for trip_dev in stream:
+                        self._epoch_consumed += 1
+                        if trip_dev is None:  # short batch -> zero rows
+                            continue
+                        logs = self._step_staged(trip_dev, current_step)
+                        if current_step % 50 == 0:
+                            logs = {k: (float(v) if hasattr(v, "dtype")
+                                        else v) for k, v in logs.items()}
+                            self.tracker.log(logs, step=current_step)
+                            self.log.info(f"{logs}")
+                            if self._multihost and mh.global_any(
+                                    bool(preempted)):
+                                stop = True  # globally agreed mid-pass stop
+                        current_step += 1
+                        if current_step >= self.max_steps or stop:
+                            break
+                        if not self._multihost and preempted:
+                            break
+                finally:
+                    # join the producer thread NOW: the next sampler
+                    # snapshot (and the checkpoint sidecar) must observe a
+                    # quiescent rng stream, not a straggling prefetch draw
+                    stream.close()
                 # pass boundary: every rank reaches here at the same
                 # current_step; agree on preemption before anyone diverges
                 # toward the collective validation or the orbax save barrier
@@ -359,19 +516,34 @@ class ContrastTrainer:
     # ------------------------------------------------------------------
     def _save_last(self, step: int) -> None:
         """True-resume checkpoint for the 40k-step recipe: params +
-        optimizer state + step counter + running best."""
+        optimizer state + step counter + running best, plus a sampler
+        sidecar (epoch-start rng snapshot + batches consumed) so resume
+        continues MID-epoch on the exact same batch stream."""
         try:
             save_checkpoint(self.log_dir, "last_model", {
                 "params": parallel_device_get(self.params),
                 "opt_state": parallel_device_get(self.opt_state),
                 "step": step, "best_bps": float(self._best_bps)})
+            if self._is_main and self._sampler_epoch_start is not None:
+                import json
+                sidecar = os.path.join(self.log_dir,
+                                       "last_model.sampler.json")
+                tmp = sidecar + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"epoch_start": self._sampler_epoch_start,
+                               "consumed": int(self._epoch_consumed)}, f)
+                os.replace(tmp, sidecar)
         except Exception as e:
             self.log.error(f"Error saving last_model: {e}")
 
     def resume(self, name: str = "last_model") -> bool:
         """Restore params + optimizer state + step from ``last_model`` and
-        continue ``fit()`` from there (the loader restarts at an epoch
-        boundary; frame order within the epoch is freshly shuffled)."""
+        continue ``fit()`` from there. With the sampler sidecar present the
+        data stream also resumes MID-epoch: single-process replays the
+        epoch bit-exactly (rng snapshot restored, consumed batches
+        fast-forwarded draw-for-draw); multi-process resumes the epoch
+        counter and batch offset (frame order exact via the epoch-seeded
+        shuffle) with fresh per-rank pos/neg augmentation draws."""
         if not checkpoint_exists(self.log_dir, name):
             return False
         batch = next(iter(self.data_loader))
@@ -385,6 +557,18 @@ class ContrastTrainer:
         self._start_step = int(restored["step"])
         self._step_count = self._start_step
         self._best_bps = float(restored["best_bps"])
+        sidecar = os.path.join(self.log_dir, "last_model.sampler.json")
+        ds = getattr(self.data_loader, "dataset", None)
+        if os.path.exists(sidecar) and ds is not None \
+                and hasattr(ds, "set_sampler_state"):
+            import json
+            with open(sidecar) as f:
+                state = json.load(f)
+            ds.set_sampler_state(state["epoch_start"],
+                                 restore_rng=not self._multihost)
+            self._resume_skip = int(state["consumed"])
+            self.log.info(f"sampler resumed mid-epoch: skipping "
+                          f"{self._resume_skip} consumed batches")
         self.log.info(f"resumed from step {self._start_step} "
                       f"(best val_bps {self._best_bps})")
         return True
