@@ -78,6 +78,8 @@ def main(argv=None, h5_path: str | None = None):
         seed=config.seed,
         log=log,
         validate_every=extra.validate_every,
+        # HBM frame-cache cap (GB); datasets over it stream per-batch
+        frame_cache_gb=float(config.training.get("frame_cache_gb", 2.0)),
     )
     if args.resume:
         trainer.resume()
