@@ -228,6 +228,49 @@ def test_ssl_mid_epoch_resume_bit_exact(h5_fixture, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_ssl_resume_ignores_stale_sidecar(h5_fixture, tmp_path):
+    """A sampler sidecar whose step stamp disagrees with the checkpoint
+    (crash between the two writes) must NOT fast-forward the stream: resume
+    falls back to an epoch boundary (skip 0) instead of replaying the wrong
+    epoch's batches."""
+    import json
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+
+    def make_trainer():
+        dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
+                                     batch_size=16, shuffle=True, **common)
+        train_dl, _ = make_contrast_loader(str(h5_fixture), mode="train",
+                                           batch_size=16, shuffle=False,
+                                           **common)
+        val_dl, _ = make_contrast_loader(str(h5_fixture), mode="val",
+                                         batch_size=16, shuffle=False,
+                                         **common)
+        model = NAME2MODEL["ContrastViT"].from_config(TINY_VIT)
+        return ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=5, eid="cafe00000",
+            log_dir=str(tmp_path / "logs"), image_size=32, seed=0,
+            validate_every=10**6)
+
+    a = make_trainer()
+    a.fit()
+    sidecar = os.path.join(a.log_dir, "last_model.sampler.json")
+    state = json.load(open(sidecar))
+    assert state["step"] == 5          # fresh save carries its step stamp
+    state["step"] = 3                  # simulate a stale pairing
+    json.dump(state, open(sidecar, "w"))
+
+    b = make_trainer()
+    assert b.resume()
+    assert b._start_step == 5
+    assert b._resume_skip == 0         # stale sidecar ignored
+    b.max_steps = 8
+    b.fit()                            # trains on, epoch-boundary stream
+
+
 def test_ssl_frame_cache_matches_streaming(h5_fixture, tmp_path):
     """The HBM frame cache (on-device index gather) must train bit-
     identically to the streamed per-batch pipeline: same uint8 rows in,

@@ -78,15 +78,20 @@ def main(argv=None):
         e_dim = train_emb.shape[-1]
         train_emb = train_emb.reshape(train_y.shape[0], -1, e_dim)
         test_emb = test_emb.reshape(test_y.shape[0], -1, e_dim)
-        # subsample the 120 frame-steps down to the 100 spike bins
+        # subsample the 120 frame-steps down to the 100 spike bins — only
+        # for the RRR copy; the plots below use the FULL trajectories, as in
+        # the reference (src/test.py:189-203 plots train/test_embedding and
+        # only `train_data` gets the `[:, sorted_idx]` subsample)
         t_frames, t_bins = train_emb.shape[1], train_y.shape[1]
         if t_frames > t_bins:
             idx = np.sort(np.random.choice(t_frames - 1, t_bins,
                                            replace=False))
-            train_emb = train_emb[:, idx]
-            test_emb = test_emb[:, idx]
+            train_emb_rrr = train_emb[:, idx]
+            test_emb_rrr = test_emb[:, idx]
+        else:
+            train_emb_rrr, test_emb_rrr = train_emb, test_emb
 
-        data_dict = {eid: {"X": [train_emb, test_emb],
+        data_dict = {eid: {"X": [train_emb_rrr, test_emb_rrr],
                            "y": [train_y, test_y], "setup": {}}}
         result = train_rrr(data_dict)
         bps = float(np.nanmean(result[eid]["bps"]))
@@ -98,7 +103,9 @@ def main(argv=None):
             # a train-embedding PNG, a first-test-trial embedding PNG, then
             # per-trial raw-video GIFs + animated embedding-trajectory GIFs
             # for the first 5 test trials (the reference breaks at idx > 3
-            # AFTER processing idx 4)
+            # AFTER processing idx 4). Intentional deviation: the reference
+            # writes the train-embedding PNG even without --save_plot; we
+            # gate every artifact behind the flag.
             import matplotlib.pyplot as plt
 
             from video_spike_tpu.viz.embeddings import (

@@ -205,8 +205,10 @@ PUPIL_TARGETS = ("pupil_top_r", "pupil_left_r", "pupil_right_r",
                  "pupil_bottom_r")
 
 #: IBL camera frame rates / resolution divisors (brainbox.behavior.dlc
-#: constants: the left camera stores half-resolution frames at 60 Hz, the
-#: right full-resolution at 150 Hz, the body camera at 30 Hz).
+#: constants: the left camera records FULL-resolution frames at 60 Hz, the
+#: right HALF-resolution at 150 Hz, the body camera at 30 Hz; the divisor
+#: rescales each camera's pixels onto the common half-resolution scale,
+#: which is why 'left' divides by 2).
 DLC_CAMERA_SAMPLING = {"left": 60, "right": 150, "body": 30}
 DLC_CAMERA_RESOLUTION = {"left": 2, "right": 1, "body": 1}
 

@@ -70,7 +70,19 @@ def background(iterable: Iterable, depth: int = 2) -> Iterator:
             yield item
     finally:
         stop.set()
-        t.join(timeout=5.0)
+        # The join must actually guarantee quiescence: a timed-out join that
+        # silently proceeds would let the producer finish an in-flight draw
+        # AFTER the caller snapshots sampler/rng state, corrupting mid-epoch
+        # resume. The producer re-checks `stop` every 50 ms around puts, so
+        # the only way to be alive after the grace window is a source draw
+        # stuck for minutes (e.g. a blocked device transfer) — fail loudly
+        # rather than hand back control with the source still in use.
+        t.join(timeout=60.0)
+        if t.is_alive():
+            raise RuntimeError(
+                "background() producer failed to quiesce within 60 s of "
+                "close; the source iterable may still be mid-draw, so "
+                "sampler-state snapshots taken now would be unsafe")
 
 
 def device_put_batch(batch: Dict, sharding=None,

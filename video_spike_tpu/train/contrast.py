@@ -524,17 +524,29 @@ class ContrastTrainer:
                 "params": parallel_device_get(self.params),
                 "opt_state": parallel_device_get(self.opt_state),
                 "step": step, "best_bps": float(self._best_bps)})
-            if self._is_main and self._sampler_epoch_start is not None:
-                import json
-                sidecar = os.path.join(self.log_dir,
-                                       "last_model.sampler.json")
-                tmp = sidecar + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump({"epoch_start": self._sampler_epoch_start,
-                               "consumed": int(self._epoch_consumed)}, f)
-                os.replace(tmp, sidecar)
         except Exception as e:
             self.log.error(f"Error saving last_model: {e}")
+            return
+        if self._is_main and self._sampler_epoch_start is not None:
+            import json
+            sidecar = os.path.join(self.log_dir, "last_model.sampler.json")
+            try:
+                tmp = sidecar + ".tmp"
+                with open(tmp, "w") as f:
+                    # the step stamp pairs the sidecar with THIS checkpoint;
+                    # resume() cross-checks it so a crash between the two
+                    # writes can never fast-forward a stale epoch's stream
+                    json.dump({"epoch_start": self._sampler_epoch_start,
+                               "consumed": int(self._epoch_consumed),
+                               "step": int(step)}, f)
+                os.replace(tmp, sidecar)
+            except Exception as e:
+                self.log.error(f"Error saving the sampler sidecar (resume "
+                               f"will fall back to an epoch boundary): {e}")
+                try:  # a stale sidecar must not pair with the new checkpoint
+                    os.remove(sidecar)
+                except OSError:
+                    pass
 
     def resume(self, name: str = "last_model") -> bool:
         """Restore params + optimizer state + step from ``last_model`` and
@@ -564,11 +576,20 @@ class ContrastTrainer:
             import json
             with open(sidecar) as f:
                 state = json.load(f)
-            ds.set_sampler_state(state["epoch_start"],
-                                 restore_rng=not self._multihost)
-            self._resume_skip = int(state["consumed"])
-            self.log.info(f"sampler resumed mid-epoch: skipping "
-                          f"{self._resume_skip} consumed batches")
+            if int(state.get("step", -1)) != self._start_step:
+                # sidecar from a different save than this checkpoint (crash
+                # between the two writes): mid-epoch replay would follow the
+                # wrong stream, so resume at an epoch boundary instead
+                self.log.warning(
+                    f"sampler sidecar step {state.get('step')} does not "
+                    f"match checkpoint step {self._start_step}; ignoring it "
+                    f"(epoch-boundary resume with a fresh shuffle)")
+            else:
+                ds.set_sampler_state(state["epoch_start"],
+                                     restore_rng=not self._multihost)
+                self._resume_skip = int(state["consumed"])
+                self.log.info(f"sampler resumed mid-epoch: skipping "
+                              f"{self._resume_skip} consumed batches")
         self.log.info(f"resumed from step {self._start_step} "
                       f"(best val_bps {self._best_bps})")
         return True
