@@ -153,6 +153,40 @@ def test_http_unheadered_batch_fans_out(session):
         batcher.close()
 
 
+def test_http_batched_header_single_row(session):
+    """An explicit X-Batched payload with exactly ONE row must still be
+    treated as a batch (leading dim stripped before the batcher), even when
+    the batcher doesn't know the sample rank."""
+    batcher = MicroBatcher(session.predict, max_batch=8, max_delay_ms=2)
+    server = serve_http(batcher, port=0, host="127.0.0.1", block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(9)
+        rows = rng.normal(size=(1, N_FEAT)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, rows)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            headers={"X-Batched": "1"}, method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = np.load(io.BytesIO(r.read()))
+        direct = session.predict(rows)
+        assert out.shape == direct.shape
+        np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_predict_rejects_empty_batch(session):
+    """A zero-row request must fail with a clear ValueError, not an opaque
+    shape error from inside the compiled executable."""
+    with pytest.raises(ValueError, match="empty batch"):
+        session.predict(np.zeros((0, N_FEAT), np.float32))
+
+
 def test_from_checkpoint_both_restore_paths(tmp_path):
     """from_checkpoint restores with and without a sample-input target and
     builds the model through the registry from a plain-dict config."""

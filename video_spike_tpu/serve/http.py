@@ -54,8 +54,10 @@ def _make_handler(batcher):
                 sid = self.headers.get("X-Session-Id")
                 sid = int(sid) if sid is not None else None
                 sample_ndim = getattr(batcher, "sample_ndim", None)
+                # trust an explicit header even for a batch of one row —
+                # that row still needs its leading dim stripped
                 batched = (self.headers.get("X-Batched") == "1"
-                           and arr.ndim and arr.shape[0] > 1)
+                           and arr.ndim >= 1 and arr.shape[0] >= 1)
                 # a multi-row payload without the header would reach the
                 # model with an extra leading dim and die with an opaque
                 # shape error deep inside model.apply — fan it out instead

@@ -112,6 +112,8 @@ class InferenceSession:
         """Pad to the next bucket, run the compiled executable, unpad."""
         inputs = np.asarray(inputs)
         n = inputs.shape[0]
+        if n == 0:
+            raise ValueError("empty batch: predict needs at least one row")
         bucket = self._bucket_for(n)
         pad = bucket - n
         if pad:
