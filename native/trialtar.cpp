@@ -10,7 +10,8 @@
 //
 // API (see video_spike_tpu/data/native_io.py for the Python wrapper):
 //   vst_reader_create(paths, sep, n_workers, capacity) -> handle
-//   vst_reader_next_size(handle, &path_idx) -> blob size (0 = end of epoch)
+//   vst_reader_next_size(handle, &path_idx) -> blob size (0 = end of epoch,
+//                                               -1 = unreadable/empty shard)
 //   vst_reader_next_copy(handle, dst)       -> copies blob, pops the slot
 //   vst_reader_reset(handle, paths, sep)    -> new epoch order
 //   vst_reader_destroy(handle)
@@ -30,6 +31,7 @@ namespace {
 
 struct Blob {
   int path_idx;
+  bool ok = false;  // false: the path could not be read (or was empty)
   std::vector<uint8_t> data;
 };
 
@@ -78,6 +80,9 @@ struct Reader {
         f.seekg(0);
         blob.data.resize(static_cast<size_t>(size));
         f.read(reinterpret_cast<char*>(blob.data.data()), size);
+        // a 0-byte "tar" is as unusable as an unreadable one; both must
+        // surface as an error, never as the 0 end-of-epoch sentinel
+        blob.ok = static_cast<bool>(f) && size > 0;
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [this, idx] {
@@ -98,7 +103,8 @@ struct Reader {
     }
   }
 
-  // peek size of next blob; 0 when the epoch is exhausted
+  // peek size of next blob; 0 when the epoch is exhausted, -1 when the
+  // next path failed to read (path_idx still identifies it)
   int64_t next_size(int* path_idx) {
     std::unique_lock<std::mutex> lk(mu);
     cv_pop.wait(lk, [this] {
@@ -107,6 +113,7 @@ struct Reader {
     });
     if (ready.empty()) return 0;
     *path_idx = ready.front().path_idx;
+    if (!ready.front().ok) return -1;
     return static_cast<int64_t>(ready.front().data.size());
   }
 

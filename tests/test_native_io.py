@@ -55,6 +55,27 @@ def test_blob_matches_python_decoder(shards):
     reader.close()
 
 
+def test_reader_unreadable_shard_raises(shards, tmp_path):
+    """A missing (or 0-byte) shard mid-list must raise IOError naming the
+    path — never read as the end-of-epoch sentinel (which would silently
+    truncate the epoch at that position)."""
+    missing = str(tmp_path / "nope.tar")
+    reader = NativeShardReader([shards[0], missing, shards[1]], n_workers=2)
+    it = iter(reader)
+    path, blob = next(it)
+    assert path == shards[0] and len(blob) > 0
+    with pytest.raises(IOError, match="nope.tar"):
+        next(it)
+    reader.close()
+
+    empty = tmp_path / "empty.tar"
+    empty.write_bytes(b"")
+    reader = NativeShardReader([str(empty)], n_workers=1)
+    with pytest.raises(IOError, match="empty.tar"):
+        next(iter(reader))
+    reader.close()
+
+
 def test_dataset_native_backend(shards):
     from video_spike_tpu.data.dataset import SessionDataset
     ds_native = SessionDataset(shards, batch_size=4, io_backend="native",

@@ -14,7 +14,8 @@ Capability parity with the reference loader stack:
 
 TPU-first differences: batches are numpy (pinned host) and are device_put by
 the trainer with an explicit NamedSharding; decode fans out over a thread
-pool; decoded trials are LRU-cached because IBL trials are ~2 MB and re-read
+pool; decoded trials are memoized per path (unbounded — IBL trials are ~2 MB,
+so a session's worth fits comfortably in host RAM) because they are re-read
 every epoch.
 """
 

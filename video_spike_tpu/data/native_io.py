@@ -84,8 +84,15 @@ class NativeShardReader:
         idx = ctypes.c_int(0)
         while True:
             size = lib.vst_reader_next_size(self._handle, ctypes.byref(idx))
-            if size <= 0:
+            if size == 0:
                 return
+            if size < 0:
+                # the C++ side marks unreadable/empty shards distinctly so a
+                # deleted file mid-epoch raises here instead of silently
+                # truncating the epoch at that position
+                raise IOError(
+                    f"native reader failed to read shard "
+                    f"{self._paths[idx.value]!r}")
             buf = ctypes.create_string_buffer(size)
             rc = lib.vst_reader_next_copy(self._handle, buf)
             if rc != 0:
