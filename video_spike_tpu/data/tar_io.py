@@ -113,9 +113,9 @@ def write_trial_tar(path: str | Path, key: str,
 def read_trial_tar(path: str | Path, decode_video: bool = True) -> dict:
     """Read one trial shard into ``{"__key__": key, <modality>: array, ...}``.
 
-    Video members come back as (T, 1, H, W) float32 — the shape the reference
-    loader emits after grayscale extraction
-    (``/root/reference/src/loader/base.py:50-55``).
+    Video members come back as (T, 1, H, W) **uint8** — the reference
+    loader's grayscale shape (``/root/reference/src/loader/base.py:50-55``)
+    but kept compact (the reference's is float32); models cast on device.
     """
     out: dict = {}
     with tarfile.open(path, "r") as tar:
