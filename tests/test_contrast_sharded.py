@@ -77,17 +77,19 @@ def _make_trainer(h5_path, tmp_path, mesh, batch_size=16, tag="run",
 
 
 def _fit_losses(trainer):
-    """Run fit() capturing the per-step device losses."""
+    """Run fit() capturing the per-step device losses. Spies on
+    ``_step_staged``, the funnel both input paths go through (the HBM
+    frame-cache path calls it directly; the streaming ``_step`` wraps it)."""
     losses = []
-    orig = trainer._step
+    orig = trainer._step_staged
 
-    def spy(batch, cur_step):
-        out = orig(batch, cur_step)
+    def spy(staged, cur_step):
+        out = orig(staged, cur_step)
         if out is not None:
             losses.append(float(out["loss"]))
         return out
 
-    trainer._step = spy
+    trainer._step_staged = spy
     trainer.fit()
     return losses
 
