@@ -80,6 +80,11 @@ def main(argv=None, h5_path: str | None = None):
         validate_every=extra.validate_every,
         # HBM frame-cache cap (GB); datasets over it stream per-batch
         frame_cache_gb=float(config.training.get("frame_cache_gb", 2.0)),
+        # mid-run durability: periodic last_model saves (async single-host)
+        # + immediate best_model flush when validation finds a new best
+        save_every_steps=config.training.get("save_every_steps", None),
+        save_every_min=config.training.get("save_every_min", 10.0),
+        flush_best=bool(config.training.get("flush_best", True)),
     )
     if args.resume:
         trainer.resume()

@@ -33,30 +33,54 @@ _SAVE_LOCK = threading.Lock()
 
 
 def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
-    """Save `tree` under `directory/name`, replacing any previous copy.
+    """Save `tree` under `directory/name`, replacing any previous copy
+    CRASH-SAFELY: the new checkpoint is fully written to ``<name>.next``
+    first, then swapped in with two renames (previous -> ``<name>.stale``,
+    next -> ``<name>``). A kill at ANY point leaves a complete checkpoint
+    recoverable — the naive rmtree-then-write protocol loses BOTH copies
+    when the kill lands mid-write (observed: a SIGKILL during a periodic
+    SSL flush left only ``last_model.orbax-checkpoint-tmp`` on disk).
+    :func:`checkpoint_exists` heals the only losable window (between the
+    two renames) by restoring ``.stale``.
 
     Multi-process: orbax's save embeds a global barrier, so EVERY process
     must call this (the primary host does the actual write). Only the
-    primary clears the previous copy; a pre-save barrier keeps the others
-    from racing into orbax while the directory is being removed."""
+    primary swaps; a post-swap barrier keeps the others from reading the
+    path mid-swap."""
     path = (Path(directory) / name).resolve()
+    next_path = path.parent / (path.name + ".next")
+    stale_path = path.parent / (path.name + ".stale")
     with _SAVE_LOCK:
         ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             import shutil
-            if path.exists():
-                shutil.rmtree(path)
             # heal leftovers of a crashed/killed earlier save — orbax
             # refuses to reuse an existing tmp dir (safe here: any live
-            # same-path save holds this lock)
-            for stale in path.parent.glob(path.name
-                                          + ".orbax-checkpoint-tmp*"):
-                shutil.rmtree(stale, ignore_errors=True)
+            # same-path save holds this lock). A leftover .next is an
+            # incomplete write; a leftover .stale only coexists with a
+            # complete <name> (checkpoint_exists restores it otherwise).
+            shutil.rmtree(next_path, ignore_errors=True)
+            if path.exists():
+                shutil.rmtree(stale_path, ignore_errors=True)
+            for tmp in path.parent.glob(path.name + "*.orbax-checkpoint-tmp*"):
+                shutil.rmtree(tmp, ignore_errors=True)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"pre_save:{path}")
-        ckptr.save(path, tree)
+        ckptr.save(next_path, tree)
         ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            import os as _os
+            import shutil
+            if stale_path.exists():   # healed-but-unread leftover
+                shutil.rmtree(stale_path, ignore_errors=True)
+            if path.exists():
+                _os.rename(path, stale_path)
+            _os.rename(next_path, path)
+            shutil.rmtree(stale_path, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"post_save:{path}")
     return str(path)
 
 
@@ -115,7 +139,7 @@ _ASYNC_ERRORS: list = []
 
 
 def save_checkpoint_async(directory: str | Path, name: str,
-                          tree: Any) -> None:
+                          tree: Any, after=None) -> None:
     """Fire-and-forget save for mid-training flushes.
 
     The expensive part on this host is not the disk write but the
@@ -127,6 +151,12 @@ def save_checkpoint_async(directory: str | Path, name: str,
     call :func:`wait_for_checkpoints` before reading the artifact or
     exiting — it re-raises the first failure from any background save, so
     a died flush can't silently leave the artifact missing.
+
+    ``after`` (optional, zero-arg) runs on the background thread only AFTER
+    the checkpoint landed on disk — e.g. the SSL trainer's sampler sidecar,
+    which must never stamp a checkpoint that failed to write. An ``after``
+    failure is surfaced at the next :func:`wait_for_checkpoints` like a
+    save failure.
     """
     key = str((Path(directory) / name).resolve())
     prev = _PENDING.get(key)
@@ -136,6 +166,8 @@ def save_checkpoint_async(directory: str | Path, name: str,
     def work():
         try:
             save_checkpoint(directory, name, parallel_device_get(tree))
+            if after is not None:
+                after()
         except BaseException as e:  # noqa: BLE001 — surfaced at the join
             _ASYNC_ERRORS.append(e)
 
@@ -144,14 +176,15 @@ def save_checkpoint_async(directory: str | Path, name: str,
     t.start()
 
 
-def wait_for_checkpoints(raise_errors: bool = True) -> None:
+def wait_for_checkpoints(raise_errors: bool = True) -> bool:
     """Join every in-flight async save (call before exit / artifact use).
 
     Raises the first error any background save hit — the caller is about
     to rely on the artifact existing. Preemption paths pass
     ``raise_errors=False`` (warn instead): their job is to get model_last
     written inside the cluster grace window, and a died best-flush must
-    not abort that."""
+    not abort that. Returns True when every joined save succeeded, so
+    non-raising callers can re-save synchronously on failure."""
     for t in list(_PENDING.values()):
         t.join()
     _PENDING.clear()
@@ -163,6 +196,8 @@ def wait_for_checkpoints(raise_errors: bool = True) -> None:
         import logging
         logging.getLogger("video_spike_tpu").warning(
             "background checkpoint save failed (continuing): %r", err)
+        return False
+    return True
 
 
 def load_checkpoint(directory: str | Path, name: str,
@@ -178,4 +213,19 @@ def load_checkpoint(directory: str | Path, name: str,
 
 
 def checkpoint_exists(directory: str | Path, name: str) -> bool:
-    return (Path(directory) / name).exists()
+    """True when `directory/name` holds a checkpoint. Heals the one
+    crash window :func:`save_checkpoint`'s swap protocol can leave open:
+    a kill between its two renames leaves only ``<name>.stale`` (the
+    complete previous checkpoint) — restore it."""
+    path = Path(directory) / name
+    if path.exists():
+        return True
+    stale = path.parent / (path.name + ".stale")
+    if stale.exists():
+        import os as _os
+        try:
+            _os.rename(stale, path)
+        except OSError:   # concurrent healer (multi-process shared fs)
+            return path.exists()
+        return True
+    return False
