@@ -2,8 +2,10 @@
 reference recipe.
 
 BASELINE.json's quality target is "bits-per-spike parity on held-out IBL
-sessions". The reference stack itself cannot run here (webdataset and
-torchvision are not installed), so this test re-states its training recipe
+sessions". The reference's loader/trainer layers cannot run here (webdataset
+and torchvision are not installed) — its dependency-clean modules CAN, and
+``tests/test_reference_golden.py`` imports those directly for RRR/InfoNCE
+goldens — so this test re-states the full training recipe
 in ~40 lines of torch written from scratch — the same architecture
 (encoder MLP -> decoder MLP, ``/root/reference/src/model/linear.py:3-56``),
 loss (PoissonNLL(log_input=True), ``/root/reference/src/train.py:59``), and
