@@ -359,15 +359,24 @@ def test_ssl_periodic_checkpoint_survives_crash(h5_fixture, tmp_path):
     run. With save_every_steps=5 the mid-run async last_model + paired
     sidecar land at step 5; a crash at step 8 leaves them intact; resume
     restores step/opt/rng/sampler and running 5->10 is BIT-identical to an
-    uninterrupted 10-step run."""
+    uninterrupted 10-step run.
+
+    Runs on a 2-device mesh: the async flush thread competes with the
+    in-step all-gather's per-device threads for this host's ONE core, and
+    XLA's CPU rendezvous hard-aborts the process when 8 participants can't
+    all arrive within its 40 s termination deadline (observed: only 5/8
+    joined). 2 participants keep the collective schedulable under the
+    flush; TPU collectives run on-chip and never contend this way."""
     import json
 
     import jax
     from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.parallel.mesh import make_mesh
     from video_spike_tpu.train.checkpoint import wait_for_checkpoints
     from video_spike_tpu.train.contrast import ContrastTrainer
 
     common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+    mesh = make_mesh(devices=jax.devices()[:2])
 
     def make_trainer(tag, max_steps, **kw):
         dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
@@ -383,7 +392,7 @@ def test_ssl_periodic_checkpoint_survives_crash(h5_fixture, tmp_path):
             model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
             train_data_loader=train_dl, max_steps=max_steps,
             eid="cafe00000", log_dir=str(tmp_path / tag), image_size=32,
-            seed=0, validate_every=10**6, **kw)
+            seed=0, validate_every=10**6, mesh=mesh, **kw)
 
     a = make_trainer("ab", 10, save_every_steps=5, save_every_min=None)
     orig = a._step_staged
@@ -420,9 +429,14 @@ def test_ssl_best_model_flushed_when_found(h5_fixture, tmp_path):
     (/root/reference/src/trainer/contrast.py:53-67). The flush_best path
     restores that: after the first improving validation the checkpoint is
     on disk even if the process later dies without reaching fit()'s final
-    saves — and it holds exactly the stashed best params."""
+    saves — and it holds exactly the stashed best params.
+
+    2-device mesh: see test_ssl_periodic_checkpoint_survives_crash (the
+    async flush starves an 8-participant CPU all-gather rendezvous into
+    XLA's 40 s hard abort on this 1-core host)."""
     import jax
     from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.parallel.mesh import make_mesh
     from video_spike_tpu.train.checkpoint import (
         load_checkpoint,
         wait_for_checkpoints,
@@ -444,7 +458,8 @@ def test_ssl_best_model_flushed_when_found(h5_fixture, tmp_path):
         model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
         train_data_loader=train_dl, max_steps=10**6, eid="cafe00000",
         log_dir=str(tmp_path / "logs"), image_size=32, seed=0,
-        save_every_steps=None, save_every_min=None)
+        save_every_steps=None, save_every_min=None,
+        mesh=make_mesh(devices=jax.devices()[:2]))
     orig = tr._step_staged
 
     def crash_at_22(staged, cur_step):
