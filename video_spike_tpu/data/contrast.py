@@ -83,24 +83,28 @@ class ContrastDataset:
         return len(self.video)
 
     # -- index sampling (reference `_select_pos_idx` / `_select_neg_idx`) ---
-    def _pos_idx(self, idx: np.ndarray) -> np.ndarray:
+    def _pos_idx(self, idx: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = self.rng if rng is None else rng
         if self.time_offset is None:
             start = np.maximum(0, idx - self.idx_offset)
             end = np.minimum(self.num_frames, idx + self.idx_offset + 1)
-            return self.rng.uniform(start, end).astype(np.int64)
+            return rng.uniform(start, end).astype(np.int64)
         ts = self.timestamp
         out = np.empty_like(idx)
         for i, j in enumerate(idx):
             valid = np.where(np.abs(ts - ts[j]) <= self.time_offset)[0]
-            out[i] = self.rng.choice(valid) if valid.size else j
+            out[i] = rng.choice(valid) if valid.size else j
         return out
 
-    def _neg_idx(self, idx: np.ndarray) -> np.ndarray:
-        neg = self.rng.integers(0, self.num_frames, size=idx.shape)
+    def _neg_idx(self, idx: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = self.rng if rng is None else rng
+        neg = rng.integers(0, self.num_frames, size=idx.shape)
         clash = neg == idx
         while np.any(clash):
-            neg[clash] = self.rng.integers(0, self.num_frames,
-                                           size=int(clash.sum()))
+            neg[clash] = rng.integers(0, self.num_frames,
+                                      size=int(clash.sum()))
             clash = neg == idx
         return neg
 
@@ -128,8 +132,18 @@ class ContrastDataset:
         frames — the HBM frame cache's input (the trainer gathers rows on
         device, so per-step H2D is a few KB of int32 instead of MBs of
         video). Draws from the same rng stream in the same order, so
-        sampler snapshots/skip replay identically across both forms."""
+        sampler snapshots/skip replay identically across both forms.
+
+        Single-process draws come from the stateful ``self.rng`` stream
+        (snapshot/skip replay). Multi-process (``world > 1``) draws are
+        STATELESS: each batch's pos/neg rng is derived from the counter
+        tuple ``(seed, epoch, rank, batch position)``, so a mid-epoch
+        resume on any rank reproduces the remaining draws exactly without
+        per-rank rng state in the sidecar — the draw-exact equivalent of
+        the DDP sampler semantics behind the reference's
+        ``accelerate launch`` (``/root/reference/src/pretrain.py:51-57``)."""
         order = np.arange(len(self))
+        epoch_used = self._epoch
         if shuffle:
             if world > 1:
                 epoch_rng = np.random.default_rng((self.seed, self._epoch))
@@ -139,20 +153,23 @@ class ContrastDataset:
                 self.rng.shuffle(order)
         if world > 1:
             order = order[rank::world]
-        for s in range(0, len(order), batch_size):
+        for bi, s in enumerate(range(0, len(order), batch_size)):
             idx = order[s:s + batch_size]
             if skip > 0:
-                # mid-epoch resume fast-forward: consume the pos/neg draws
-                # (keeping the rng stream bit-aligned with the original
-                # epoch) without yielding
                 skip -= 1
-                if self.mode == "pretrain":
+                if self.mode == "pretrain" and world == 1:
+                    # single-process fast-forward: consume the skipped
+                    # batches' draws so the stateful stream stays
+                    # bit-aligned with the original epoch (counter-derived
+                    # multi-process draws need no consumption)
                     self._pos_idx(idx)
                     self._neg_idx(idx)
                 continue
             if self.mode == "pretrain":
-                yield {"ref": idx, "pos": self._pos_idx(idx),
-                       "neg": self._neg_idx(idx)}
+                rng = (np.random.default_rng(
+                    (self.seed, epoch_used, rank, bi)) if world > 1 else None)
+                yield {"ref": idx, "pos": self._pos_idx(idx, rng),
+                       "neg": self._neg_idx(idx, rng)}
             else:
                 yield {"ref": idx}
 

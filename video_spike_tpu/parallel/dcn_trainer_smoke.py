@@ -57,6 +57,9 @@ def main() -> None:
     if os.environ.get("DCN_MODE") == "ssl":
         _ssl(jax, os.environ["DCN_H5"], log_dir, eid)
         return
+    if os.environ.get("DCN_MODE") == "ssl_resume":
+        _ssl_resume(jax, os.environ["DCN_H5"], log_dir, eid)
+        return
     data_dir = os.environ["DCN_FIXTURE_DIR"]
     if os.environ.get("DCN_MODE") == "multisession":
         _multisession(jax, data_dir, log_dir, eid.split(","))
@@ -244,6 +247,87 @@ def _ssl(jax, h5_path: str, log_dir: str, eid: str) -> None:
     emb = trainer.transform(train_dl)  # replicated-eval + all-gather path
     print(f"pid={pid} result="
           f"{json.dumps({'best_bps': round(float(best), 8), 'emb_sum': round(float(np.abs(emb).sum()), 4), 'emb_rows': int(emb.shape[0])})}",
+          flush=True)
+
+
+def _ssl_resume(jax, h5_path: str, log_dir: str, eid: str) -> None:
+    """Draw-exact multi-process SSL mid-epoch resume: interrupt a 2-process
+    ``ContrastTrainer`` run mid-epoch, resume from last_model + sampler
+    sidecar with FRESH trainers, run to max_steps, and compare final params
+    against an uninterrupted control — they must be bit-identical on every
+    rank, because both the epoch shuffle and the pos/neg draws are derived
+    from stateless counters (seed, epoch) / (seed, epoch, rank, batch).
+    This is the draw-exact strengthening of the DDP sampler semantics
+    behind the reference's ``accelerate launch``
+    (``/root/reference/src/pretrain.py:51-57``)."""
+    import hashlib
+    import json
+
+    import numpy as np
+
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.data.contrast import make_contrast_loader
+    from video_spike_tpu.train.checkpoint import parallel_device_get
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    pid = jax.process_index()
+    cfg = dict(image_size=16, patch_size=8, num_channels=1, hidden_size=32,
+               num_hidden_layers=1, num_attention_heads=4,
+               intermediate_size=64, decoder_hidden_size=32,
+               decoder_num_hidden_layers=1, decoder_num_attention_heads=4,
+               decoder_intermediate_size=64, mask_ratio=0.0,
+               norm_pix_loss=False, embed_size=3)
+    # batch 6 scales x2 per-device -> 12 local rows/step; 144 frames / 2
+    # ranks / 12 = 6-step epochs. Stop at 8 = 2 batches into epoch 1
+    # (mid-epoch), max_steps 16 ends mid-epoch-2: both seams crossed.
+    MAX_STEPS, STOP_AT, CONSUMED = 16, 8, 2
+    BATCH = 6
+
+    def make_trainer(logs: str) -> ContrastTrainer:
+        model = NAME2MODEL["ContrastViT"].from_config(cfg)
+        common = dict(eid=eid, idx_offset=3, image_size=16, seed=0)
+        dl, _ = make_contrast_loader(h5_path, mode="pretrain",
+                                     batch_size=BATCH, **common)
+        train_dl, _ = make_contrast_loader(h5_path, mode="train",
+                                           batch_size=4, shuffle=False,
+                                           **common)
+        val_dl, _ = make_contrast_loader(h5_path, mode="val", batch_size=4,
+                                         shuffle=False, **common)
+        return ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=MAX_STEPS, eid=eid,
+            log_dir=logs, image_size=16, seed=42, validate_every=10**6,
+            save_every_min=None, flush_best=False)
+
+    def digest(trainer: ContrastTrainer) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        for leaf in jax.tree.leaves(parallel_device_get(trainer.params)):
+            h.update(np.ascontiguousarray(leaf).tobytes())
+        return h.hexdigest()
+
+    ab_dir = os.path.join(log_dir, "ab")
+    c_dir = os.path.join(log_dir, "c")
+
+    # phase A: train to STOP_AT mid-epoch (log_dir nested by the FULL
+    # max_steps first, then stop early — the same last_model + sidecar a
+    # preemption would leave behind)
+    ta = make_trainer(ab_dir)
+    ta.max_steps = STOP_AT
+    ta.fit()
+
+    # phase B: fresh trainer (fresh loaders, fresh rng objects), resume
+    tb = make_trainer(ab_dir)
+    assert tb.resume(), "resume found no checkpoint"
+    assert tb._start_step == STOP_AT, tb._start_step
+    assert tb._resume_skip == CONSUMED, tb._resume_skip  # really mid-epoch
+    tb.fit()
+
+    # control: uninterrupted
+    tc = make_trainer(c_dir)
+    tc.fit()
+
+    print(f"pid={pid} result="
+          f"{json.dumps({'resumed': digest(tb), 'control': digest(tc)})}",
           flush=True)
 
 

@@ -413,8 +413,10 @@ class ContrastTrainer:
         of batches or the stragglers deadlock.
 
         ``skip`` (mid-epoch resume) fast-forwards past the first ``skip``
-        batches of the epoch while keeping the sampling rng stream aligned
-        (the dataset consumes the skipped batches' pos/neg draws)."""
+        batches of the epoch while keeping the sampling draws aligned
+        (single-process: the dataset consumes the skipped batches' draws;
+        multi-process: draws are (seed, epoch, rank, batch)-counter-derived
+        and realign positionally)."""
         if not self._multihost:
             if skip == 0 and not index:
                 return iter(self.data_loader)
@@ -668,11 +670,12 @@ class ContrastTrainer:
     def resume(self, name: str = "last_model") -> bool:
         """Restore params + optimizer state + step from ``last_model`` and
         continue ``fit()`` from there. With the sampler sidecar present the
-        data stream also resumes MID-epoch: single-process replays the
-        epoch bit-exactly (rng snapshot restored, consumed batches
-        fast-forwarded draw-for-draw); multi-process resumes the epoch
-        counter and batch offset (frame order exact via the epoch-seeded
-        shuffle) with fresh per-rank pos/neg augmentation draws."""
+        data stream also resumes MID-epoch bit-exactly in both modes:
+        single-process replays the epoch (rng snapshot restored, consumed
+        batches fast-forwarded draw-for-draw); multi-process resumes the
+        epoch counter and batch offset, with the frame order exact via the
+        epoch-seeded shuffle and the pos/neg draws exact via their
+        stateless (seed, epoch, rank, batch) counter derivation."""
         if not checkpoint_exists(self.log_dir, name):
             return False
         batch = next(iter(self.data_loader))
