@@ -39,6 +39,44 @@ def test_vtt_forward_shapes(rng):
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+def test_vtt_matmul_patchify_bit_equal(rng):
+    """The explicit-matmul patchify (round-5 MFU variant) must share the
+    Conv path's exact parameter tree and reproduce its outputs (same init
+    key -> same params -> equal logits within f32 matmul noise)."""
+    conv_model = VideoTemporalTransformer.from_config(TINY)
+    mm_model = VideoTemporalTransformer.from_config(
+        dict(TINY, matmul_patchify=True))
+    video = jnp.asarray(rng.integers(0, 255, (2, 12, 1, 32, 32))
+                        .astype(np.uint8))
+    sids = jnp.asarray([0, 1], jnp.int32)
+    p_conv = conv_model.init(jax.random.PRNGKey(0), video, sids)
+    p_mm = mm_model.init(jax.random.PRNGKey(0), video, sids)
+    assert (jax.tree.structure(p_conv) == jax.tree.structure(p_mm))
+    for a, b in zip(jax.tree.leaves(p_conv), jax.tree.leaves(p_mm)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_conv = conv_model.apply(p_conv, video, sids)
+    out_mm = mm_model.apply(p_conv, video, sids)   # checkpoint interchange
+    np.testing.assert_allclose(np.asarray(out_mm), np.asarray(out_conv),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_vtt_pool_before_norm_variant(rng):
+    """pool_before_norm keeps the parameter tree (LN over (D,) either way)
+    but is an intentional architectural variant — outputs differ."""
+    base = VideoTemporalTransformer.from_config(TINY)
+    variant = VideoTemporalTransformer.from_config(
+        dict(TINY, pool_before_norm=True))
+    video = jnp.asarray(rng.integers(0, 255, (2, 12, 1, 32, 32))
+                        .astype(np.uint8))
+    sids = jnp.asarray([0, 1], jnp.int32)
+    p = base.init(jax.random.PRNGKey(0), video, sids)
+    p_v = variant.init(jax.random.PRNGKey(0), video, sids)
+    assert jax.tree.structure(p) == jax.tree.structure(p_v)
+    out = variant.apply(p, video, sids)
+    assert out.shape == (2, 10, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_masked_poisson_nll(rng):
     x = jnp.asarray(rng.normal(size=(4, 10, 6)).astype(np.float32))
     t = jnp.asarray(rng.poisson(1.0, (4, 10, 6)).astype(np.float32))

@@ -53,8 +53,49 @@ def time_resample_init(t_frames: int, t_bins: int) -> np.ndarray:
     return M
 
 
+class _PatchifyMatmul(nn.Module):
+    """Stride-P patchify as an explicit reshape + one MXU dot: bit-equal to
+    ``nn.Conv(features, (P, P), strides=(P, P), padding="VALID")`` with the
+    SAME (P, P, C, D) kernel parameter (read as a (P²C, D) matrix; patch
+    pixels flatten in the kernel's (h, w, c) order)."""
+
+    features: int
+    patch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        n, H, W, c = x.shape
+        p = self.patch
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        patches = x.reshape(n, H // p, p, W // p, p, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(n, (H // p) * (W // p), p * p * c)
+        return (jnp.einsum(
+            "nsk,kd->nsd", patches,
+            kernel.reshape(p * p * c, self.features).astype(self.dtype))
+            + bias.astype(self.dtype))
+
+
 class FrameEncoder(nn.Module):
-    """Shared per-frame ViT: patchify -> spatial blocks -> mean-pool."""
+    """Shared per-frame ViT: patchify -> spatial blocks -> mean-pool.
+
+    The ``matmul_patchify`` / ``pool_before_norm`` flags are round-5
+    MFU-attempt variants (VERDICT r4 #6, profile-guided attack on the
+    recorded LN/relayout overhead between the encoder's small matmuls):
+
+    - ``matmul_patchify``: express the stride-16 patchify Conv as an
+      explicit patch-reshape + one (N*S, P²C)x(P²C, D) dot. Bit-equal math
+      and the SAME parameter tree (the Conv kernel (P, P, C, D) is read as
+      a (P²C, D) matrix), so checkpoints are interchangeable; exists to
+      A/B XLA's conv lowering against a plain MXU matmul.
+    - ``pool_before_norm``: mean-pool the token axis BEFORE the final f32
+      LayerNorm, normalizing the (N, D) pooled embedding instead of the
+      full (N, S, D) grid — S× less f32 LN traffic. NOT numerically
+      equivalent (architectural variant; quality-gated before any default
+      flip).
+    """
 
     patch_size: int = 16
     hidden: int = 256
@@ -63,23 +104,34 @@ class FrameEncoder(nn.Module):
     mlp_dim: int = 512
     dtype: Any = jnp.bfloat16
     remat: bool = False  # see vit_mae.Encoder.remat
+    matmul_patchify: bool = False
+    pool_before_norm: bool = False
 
     @nn.compact
     def __call__(self, frames):
         # frames: (N, C, H, W) -> (N, D)
         x = jnp.transpose(frames, (0, 2, 3, 1)).astype(self.dtype)
-        x = nn.Conv(self.hidden, (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=self.dtype)(x)
-        n, h, w, d = x.shape
-        x = x.reshape(n, h * w, d)
-        grid = int(np.sqrt(h * w))
+        p = self.patch_size
+        if self.matmul_patchify:
+            # named Conv_0 so the param tree (Conv_0/{kernel, bias}, same
+            # shapes, same initializers) matches the Conv path exactly
+            x = _PatchifyMatmul(self.hidden, p, self.dtype,
+                                name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.hidden, (p, p), strides=(p, p),
+                        padding="VALID", dtype=self.dtype)(x)
+            n, h, w, d = x.shape
+            x = x.reshape(n, h * w, d)
+        grid = int(np.sqrt(x.shape[1]))
         pos = sincos_pos_embed_2d(self.hidden, grid, cls_token=False)
         x = x + jnp.asarray(pos)[None].astype(x.dtype)
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             x = block_cls(self.hidden, self.heads, self.mlp_dim,
                           self.dtype, name=f"Block_{i}")(x)
+        if self.pool_before_norm:
+            x = jnp.mean(x.astype(jnp.float32), axis=1)  # (N, D)
+            return nn.LayerNorm(dtype=jnp.float32)(x)
         x = nn.LayerNorm(dtype=jnp.float32)(x)
         return jnp.mean(x, axis=1)  # (N, D)
 
@@ -107,6 +159,8 @@ class VideoTemporalTransformer(nn.Module):
     # trade in BASELINE.md ("frame-stride" section).
     frame_stride: int = 1
     remat: bool = False  # see vit_mae.Encoder.remat
+    matmul_patchify: bool = False  # see FrameEncoder (round-5 MFU variants)
+    pool_before_norm: bool = False
 
     @classmethod
     def from_config(cls, config) -> "VideoTemporalTransformer":
@@ -123,6 +177,8 @@ class VideoTemporalTransformer(nn.Module):
             mlp_dim=config.get("intermediate_size", 512),
             frame_stride=config.get("frame_stride", 1),
             remat=bool(config.get("remat", False)),
+            matmul_patchify=bool(config.get("matmul_patchify", False)),
+            pool_before_norm=bool(config.get("pool_before_norm", False)),
         )
 
     @nn.compact
@@ -135,7 +191,10 @@ class VideoTemporalTransformer(nn.Module):
         frames = x.reshape(B * T, *x.shape[2:])
         emb = FrameEncoder(self.patch_size, self.hidden, self.frame_depth,
                            self.heads, self.mlp_dim, self.dtype,
-                           remat=self.remat, name="frame_encoder")(frames)
+                           remat=self.remat,
+                           matmul_patchify=self.matmul_patchify,
+                           pool_before_norm=self.pool_before_norm,
+                           name="frame_encoder")(frames)
         h = emb.reshape(B, T, self.hidden)
 
         pos = sincos_pos_embed_1d(self.hidden, T)
