@@ -63,10 +63,17 @@ def main():
     sids = jnp.asarray(rng.integers(0, S, (B,)).astype(np.int32))
 
     stride = int(os.environ.get("VTT_PROFILE_STRIDE", 1))
+    # round-5 MFU-attempt variants (models/vtt.py FrameEncoder docstring)
+    mm_patch = os.environ.get("VTT_PROFILE_MATMUL_PATCHIFY", "0") == "1"
+    pool_pre = os.environ.get("VTT_PROFILE_POOL_BEFORE_NORM", "0") == "1"
+    # VTT_PROFILE_SECTIONS=full times only section 1 (each extra section is
+    # a fresh multi-minute remote compile; the A/B sweeps don't need them)
+    sections = os.environ.get("VTT_PROFILE_SECTIONS", "all")
     model = VideoTemporalTransformer(
         n_sessions=S, max_neurons=N, t_frames=T, t_bins=100, patch_size=16,
         hidden=hidden, frame_depth=depth, temporal_depth=depth, heads=heads,
-        mlp_dim=mlp, frame_stride=stride)
+        mlp_dim=mlp, frame_stride=stride, matmul_patchify=mm_patch,
+        pool_before_norm=pool_pre)
     params = model.init(jax.random.PRNGKey(0), video[:1], sids[:1])
     tx = optax.adamw(1e-4, weight_decay=0.01)
     opt_state = tx.init(params)
@@ -86,8 +93,13 @@ def main():
     results["full_train_step_ms"] = dt * 1e3
     results["frames_per_s"] = B * T / dt
 
+    if sections == "full":
+        _finish(results, dt, B, T, HW, N, stride, hidden, depth, mlp)
+        return
+
     # 2. frame encoder only (fwd+bwd, same (B*T) frame batch)
-    fe = FrameEncoder(16, hidden, depth, heads, mlp, name="frame_encoder")
+    fe = FrameEncoder(16, hidden, depth, heads, mlp, name="frame_encoder",
+                      matmul_patchify=mm_patch, pool_before_norm=pool_pre)
     # the encoder sees every stride-th frame, matching the full model
     frames = (video[:, ::stride].astype(jnp.float32) / 255.0
               ).reshape(B * (T // stride), 1, HW, HW)
@@ -156,6 +168,10 @@ def main():
         fwd_step, (params, jnp.zeros((B, 100, N))), (video, sids),
         iters) * 1e3
 
+    _finish(results, dt, B, T, HW, N, stride, hidden, depth, mlp)
+
+
+def _finish(results, dt, B, T, HW, N, stride, hidden, depth, mlp):
     # model FLOPs/step (fwd+bwd ~= 3x fwd) for an MFU estimate
     t_enc = T // stride   # frames the encoder/temporal stack actually see
     s_tok, d = (HW // 16) ** 2, hidden

@@ -88,8 +88,11 @@ class FrameEncoder(nn.Module):
     - ``matmul_patchify``: express the stride-16 patchify Conv as an
       explicit patch-reshape + one (N*S, P²C)x(P²C, D) dot. Bit-equal math
       and the SAME parameter tree (the Conv kernel (P, P, C, D) is read as
-      a (P²C, D) matrix), so checkpoints are interchangeable; exists to
-      A/B XLA's conv lowering against a plain MXU matmul.
+      a (P²C, D) matrix), so checkpoints are interchangeable. Measured on
+      chip at the recipe shape: 24.75 -> 23.81 ms/step (MFU 34.3 -> 35.6%,
+      BASELINE.md round-5 variant table) — XLA's conv lowering loses to the
+      plain MXU matmul here, so this is the DEFAULT; the flag remains for
+      A/B.
     - ``pool_before_norm``: mean-pool the token axis BEFORE the final f32
       LayerNorm, normalizing the (N, D) pooled embedding instead of the
       full (N, S, D) grid — S× less f32 LN traffic. NOT numerically
@@ -104,7 +107,7 @@ class FrameEncoder(nn.Module):
     mlp_dim: int = 512
     dtype: Any = jnp.bfloat16
     remat: bool = False  # see vit_mae.Encoder.remat
-    matmul_patchify: bool = False
+    matmul_patchify: bool = True
     pool_before_norm: bool = False
 
     @nn.compact
@@ -159,7 +162,7 @@ class VideoTemporalTransformer(nn.Module):
     # trade in BASELINE.md ("frame-stride" section).
     frame_stride: int = 1
     remat: bool = False  # see vit_mae.Encoder.remat
-    matmul_patchify: bool = False  # see FrameEncoder (round-5 MFU variants)
+    matmul_patchify: bool = True  # see FrameEncoder (round-5 MFU variants)
     pool_before_norm: bool = False
 
     @classmethod
@@ -177,7 +180,7 @@ class VideoTemporalTransformer(nn.Module):
             mlp_dim=config.get("intermediate_size", 512),
             frame_stride=config.get("frame_stride", 1),
             remat=bool(config.get("remat", False)),
-            matmul_patchify=bool(config.get("matmul_patchify", False)),
+            matmul_patchify=bool(config.get("matmul_patchify", True)),
             pool_before_norm=bool(config.get("pool_before_norm", False)),
         )
 
