@@ -94,9 +94,18 @@ def main(argv=None):
 
     step = 0
     losses = []
+    sub_idx = None
     while step < max_steps:
         for batch in train_dl:
-            video = jnp.asarray(np.asarray(batch[video_key]))
+            raw = np.asarray(batch[video_key])
+            if sub_idx is None:
+                # uniform 16-of-120 subsample ON HOST (same indices
+                # preprocess_frames would pick on device): the tunnel link
+                # is ~1.2 GB/s, so shipping only the surviving frames cuts
+                # per-step H2D 7.5x at the recipe shape
+                sub_idx = (np.linspace(0, 1, num_frames)
+                           * (raw.shape[1] - 1)).astype(int)
+            video = jnp.asarray(np.ascontiguousarray(raw[:, sub_idx]))
             if params is None:
                 x = preprocess_frames(video[:1], num_frames, image_size,
                                       source_frames=video.shape[1])
