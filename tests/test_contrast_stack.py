@@ -422,6 +422,72 @@ def test_ssl_periodic_checkpoint_survives_crash(h5_fixture, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_ssl_resume_keeps_flushed_best(h5_fixture, tmp_path):
+    """Resuming from a checkpoint that PREDATES a flushed best must not
+    forget that best (round-5 durability drill: the step-1000 periodic
+    last_model carried best_bps=-inf, segment A's validation then flushed
+    best 0.0839, and the post-SIGKILL resume crowned a later WORSE 0.0785
+    validation "best", overwriting the better on-disk best_model). The
+    best flush stamps best_model.meta.json; resume() takes the max."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from video_spike_tpu.core.registry import NAME2MODEL
+    from video_spike_tpu.train.checkpoint import (
+        load_checkpoint,
+        wait_for_checkpoints,
+    )
+    from video_spike_tpu.train.contrast import ContrastTrainer
+
+    common = dict(eid="cafe00000", idx_offset=3, image_size=32, seed=0)
+
+    def make_trainer(max_steps):
+        dl, _ = make_contrast_loader(str(h5_fixture), mode="pretrain",
+                                     batch_size=16, shuffle=True, **common)
+        train_dl, _ = make_contrast_loader(str(h5_fixture), mode="train",
+                                           batch_size=16, shuffle=False,
+                                           **common)
+        val_dl, _ = make_contrast_loader(str(h5_fixture), mode="val",
+                                         batch_size=16, shuffle=False,
+                                         **common)
+        model = NAME2MODEL["ContrastViT"].from_config(TINY_VIT)
+        return ContrastTrainer(
+            model, dl, {"lr": 1e-3}, val_data_loader=val_dl,
+            train_data_loader=train_dl, max_steps=max_steps,
+            eid="cafe00000", log_dir=str(tmp_path / "logs"), image_size=32,
+            seed=0, validate_every=10**6)
+
+    # run to the periodic-flush state: last_model at step 5, best_bps -inf
+    a = make_trainer(5)
+    a.fit()
+    # then a validation finds a (synthetic, unbeatable) best and flushes it
+    a._best_bps, a._best_step = 0.9, 4
+    a._best_params = jax.tree.map(lambda x: jnp.zeros_like(x) + 7.0,
+                                  a.params)
+    a._flush_best_model(4)
+    wait_for_checkpoints()
+    meta = json.load(open(os.path.join(a.log_dir, "best_model.meta.json")))
+    assert meta == {"best_bps": 0.9, "step": 4}
+
+    # resume from the OLDER last_model: the flushed best must be restored
+    b = make_trainer(5)
+    assert b.resume()
+    assert b._best_bps == 0.9 and b._best_step == 4
+
+    # continue with a real (necessarily worse) validation at fit() end:
+    # best_model on disk must remain the flushed 0.9 checkpoint
+    b.max_steps, b.validate_every = 8, 1
+    b.fit()
+    assert b._best_params is None          # nothing beat the flushed best
+    restored = load_checkpoint(b.log_dir, "best_model")
+    for leaf in jax.tree.leaves(restored["params"]):
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.full_like(np.asarray(leaf), 7.0))
+    meta = json.load(open(os.path.join(b.log_dir, "best_model.meta.json")))
+    assert meta == {"best_bps": 0.9, "step": 4}
+
+
 @pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_ssl_best_model_flushed_when_found(h5_fixture, tmp_path):

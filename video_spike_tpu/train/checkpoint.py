@@ -86,16 +86,26 @@ def save_checkpoint(directory: str | Path, name: str, tree: Any) -> str:
 
 def parallel_device_get(tree: Any, chunk_bytes: int = 32 << 20,
                         workers: int = 16) -> Any:
-    """``jax.device_get`` with big leaves fetched as concurrent row chunks.
+    """``jax.device_get`` with every device leaf fetched concurrently (big
+    leaves additionally split into row chunks).
 
-    The axon tunnel's download path runs ~26-37 MB/s per stream but ~2x
-    that with ~16 concurrent slice fetches (measured on the 536 MB
-    staging array: 20.6 s single-stream vs 8.1-8.6 s at 16-64 chunks), so
-    a 1 GB checkpoint fetch drops from ~40 s to ~16 s. Leaves smaller than
-    ``chunk_bytes`` and single-process-unfriendly cases fall back to the
-    plain fetch. Single-host only — callers in multihost mode use
-    ``jax.device_get`` directly (slice fetches of globally sharded arrays
-    would gather cross-host).
+    Two measured reasons (scripts/profile_ckpt_flush.py, real chip):
+
+    - bandwidth: the tunnel's download path runs ~26-37 MB/s per stream
+      but ~2x that with ~16 concurrent fetches (536 MB staging array:
+      20.6 s single-stream vs 8.1-8.6 s at 16-64 chunks);
+    - **liveness**: a plain ``jax.device_get`` of a whole tree BLOCKS
+      concurrently dispatched device work for its entire duration (45.4 s
+      of stalled training on a 1.33 GB tree), while the same bytes as ~16
+      concurrent per-leaf/per-chunk fetches stall it by ~0. The round-5
+      durability drill hit exactly this: the 111M SSL tree has ~300 leaves
+      all under the old 64 MB chunking threshold, so the "async" periodic
+      flush silently took the plain path and froze the step loop 57-83 s
+      per save. Hence: whole-leaf fetches go through the pool too.
+
+    Single-host only — callers in multihost mode use ``jax.device_get``
+    directly (slice fetches of globally sharded arrays would gather
+    cross-host).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -104,33 +114,41 @@ def parallel_device_get(tree: Any, chunk_bytes: int = 32 << 20,
     if jax.process_count() > 1:
         return jax.device_get(tree)
     leaves, treedef = jax.tree.flatten(tree)
-    jobs = []   # (leaf_idx, row_start, row_end) for chunked leaves
+    jobs = []       # (leaf_idx, row_start, row_end) for big-leaf chunks
+    whole = []      # leaf indices fetched whole on the pool
+    chunked = set()
     for i, leaf in enumerate(leaves):
         nbytes = getattr(leaf, "nbytes", 0)
         shape = getattr(leaf, "shape", ())
+        if not hasattr(leaf, "nbytes"):
+            continue   # python scalar / non-array: plain fetch below
         if nbytes < 2 * chunk_bytes or not shape or shape[0] < 2:
+            whole.append(i)
             continue
+        chunked.add(i)
         rows_per = max(int(len(leaf) * chunk_bytes / nbytes), 1)
         jobs.extend((i, s, min(s + rows_per, shape[0]))
                     for s in range(0, shape[0], rows_per))
-    if not jobs:
+    if not jobs and not whole:
         return jax.device_get(tree)
-    chunked = {i for i, _, _ in jobs}
-    out = [None if i in chunked else leaf
-           for i, leaf in enumerate(leaves)]
+    done = chunked | set(whole)
+    out = [None if i in done else leaf for i, leaf in enumerate(leaves)]
     for i in chunked:
         out[i] = np.empty(leaves[i].shape, leaves[i].dtype)
 
     def fetch(job):
-        i, s, e = job
-        out[i][s:e] = jax.device_get(leaves[i][s:e])
+        if isinstance(job, tuple):
+            i, s, e = job
+            out[i][s:e] = jax.device_get(leaves[i][s:e])
+        else:
+            out[job] = jax.device_get(leaves[job])
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(fetch, jobs))
-    rest = [leaf for i, leaf in enumerate(leaves) if i not in chunked]
+        list(ex.map(fetch, jobs + whole))
+    rest = [leaf for i, leaf in enumerate(leaves) if i not in done]
     rest_np = jax.device_get(rest)
     it = iter(rest_np)
-    out = [o if i in chunked else next(it) for i, o in enumerate(out)]
+    out = [o if i in done else next(it) for i, o in enumerate(out)]
     return jax.tree.unflatten(treedef, out)
 
 

@@ -168,6 +168,7 @@ class ContrastTrainer:
         self._best_params = None
         self._start_step = 0
         self._best_bps = -np.inf
+        self._best_step = -1
         # mid-epoch resume: sampler snapshot at the current epoch's start +
         # how many batches of it the train loop has consumed (see resume())
         self._sampler_epoch_start = None
@@ -532,13 +533,14 @@ class ContrastTrainer:
                 if val["val_bps"] > best_bps:
                     best_bps = val["val_bps"]
                     self._best_bps = best_bps
+                    self._best_step = current_step
                     self.log.info(f"Best val bps: {best_bps}")
                     # on-device stash for transform(use_best=True) ...
                     self._best_params = jax.tree.map(jnp.copy, self.params)
                     if self._flush_best:
                         # ... AND an immediate disk flush (single-host: a
                         # background fetch off the stash; training continues)
-                        self._flush_best_model()
+                        self._flush_best_model(current_step)
             if stop:
                 self.log.info(f"preempted at step {current_step}: saving "
                               f"best_model + last_model before exit")
@@ -552,7 +554,8 @@ class ContrastTrainer:
         flushed_ok = wait_for_checkpoints(raise_errors=False)
         if self._best_params is not None and not (self._flush_best
                                                   and flushed_ok):
-            self._save_model("best_model")
+            if self._save_model("best_model"):
+                self._write_best_meta(self._best_bps, self._best_step)
         self._save_last(current_step)
         self.log.info(f"Training took: {time.time()-start:.1f} seconds")
         return best_bps
@@ -653,19 +656,48 @@ class ContrastTrainer:
         save_checkpoint_async(self.log_dir, "last_model", tree,
                               after=lambda: self._write_sidecar(state))
 
-    def _flush_best_model(self) -> None:
+    def _flush_best_model(self, step: int) -> None:
         """Persist the just-found best params now (reference behavior:
         /root/reference/src/trainer/contrast.py:53-67) instead of holding
         them on device until fit() ends. The stash is never donated, so the
         single-host background fetch reads it safely; multihost saves
         synchronously at the validation boundary, where every rank has
-        bit-identically agreed on the new best."""
+        bit-identically agreed on the new best.
+
+        A ``best_model.meta.json`` sidecar (best_bps + step) is stamped
+        AFTER the checkpoint lands so :meth:`resume` can restore the
+        running best even when the surviving ``last_model`` predates this
+        validation — without it, a resume from an older periodic flush
+        forgot the best and a later WORSE validation overwrote the better
+        on-disk best_model (observed in the round-5 durability drill:
+        segment A flushed best 0.0839, the post-kill resume crowned 0.0785
+        "best" and clobbered it)."""
         if self._multihost:
-            self._save_model("best_model")
+            if self._save_model("best_model"):
+                self._write_best_meta(self._best_bps, step)
             return
         from video_spike_tpu.train.checkpoint import save_checkpoint_async
-        save_checkpoint_async(self.log_dir, "best_model",
-                              {"params": self._best_params})
+        bps = self._best_bps
+        save_checkpoint_async(
+            self.log_dir, "best_model", {"params": self._best_params},
+            after=lambda: self._write_best_meta(bps, step))
+
+    def _write_best_meta(self, bps: float, step: int) -> None:
+        """Atomically stamp ``best_model.meta.json``. Ordered after the
+        checkpoint write, so the meta can understate (a crash between the
+        two writes loses only the stamp) but never claim a best that is
+        not on disk."""
+        if not self._is_main:
+            return
+        import json
+        meta = os.path.join(self.log_dir, "best_model.meta.json")
+        try:
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"best_bps": float(bps), "step": int(step)}, f)
+            os.replace(tmp, meta)
+        except Exception as e:
+            self.log.error(f"Error saving best_model.meta.json: {e}")
 
     def resume(self, name: str = "last_model") -> bool:
         """Restore params + optimizer state + step from ``last_model`` and
@@ -689,6 +721,27 @@ class ContrastTrainer:
         self._start_step = int(restored["step"])
         self._step_count = self._start_step
         self._best_bps = float(restored["best_bps"])
+        # the checkpoint's running best can PREDATE a flushed best_model
+        # (a periodic last_model from before the validation that found it
+        # — the exact sequence the round-5 SIGKILL drill produced). The
+        # best flush stamps best_model.meta.json; take the max so a later
+        # worse validation can never overwrite the better on-disk best.
+        meta_path = os.path.join(self.log_dir, "best_model.meta.json")
+        if os.path.exists(meta_path) and checkpoint_exists(self.log_dir,
+                                                           "best_model"):
+            import json
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if float(meta.get("best_bps", -np.inf)) > self._best_bps:
+                    self._best_bps = float(meta["best_bps"])
+                    self._best_step = int(meta.get("step", -1))
+                    self.log.info(
+                        f"restored flushed best val_bps {self._best_bps} "
+                        f"(step {self._best_step}) from best_model.meta")
+            except (ValueError, OSError) as e:
+                self.log.warning(f"unreadable best_model.meta.json ({e}); "
+                                 f"keeping the checkpoint's best_bps")
         sidecar = os.path.join(self.log_dir, "last_model.sampler.json")
         ds = getattr(self.data_loader, "dataset", None)
         if os.path.exists(sidecar) and ds is not None \
@@ -823,14 +876,16 @@ class ContrastTrainer:
         return feats
 
     # ------------------------------------------------------------------
-    def _save_model(self, name: str) -> None:
+    def _save_model(self, name: str) -> bool:
         try:
             params = (self._best_params if name == "best_model"
                       and self._best_params is not None else self.params)
             save_checkpoint(self.log_dir, name,
                             {"params": parallel_device_get(params)})
+            return True
         except Exception as e:  # keep training on checkpoint failure
             self.log.error(f"Error saving the model: {e}")
+            return False
 
     def _load_model(self, name: str) -> bool:
         if not checkpoint_exists(self.log_dir, name):
