@@ -23,6 +23,14 @@ run fresh here.
 Ship rule: pbn becomes the model default only if test bps AND R² are
 equal-or-better; otherwise the flag stays opt-in and the refusal is
 recorded in BASELINE.md.
+
+Round-5 outcome (BASELINE.md "Round-5 MFU attempt"): both arms trained to
+chance-level bps on the fresh 30-trial-per-session fixture (−0.04761 vs
+−0.04765) — equal, but non-probative at production signal levels, so pbn
+stayed opt-in. Before re-running, strengthen the fixture until the base
+arm reaches clearly-positive test bps (the lost round-3 fixture trained
+to ~0.50); 30 trials/session × 25 epochs is demonstrably not enough
+signal for this gate.
 """
 
 from __future__ import annotations
