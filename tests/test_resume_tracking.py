@@ -247,3 +247,36 @@ def test_parallel_device_get_matches_plain():
         assert got[k].dtype == ref[k].dtype
         assert np.array_equal(np.asarray(got[k], np.float32),
                               np.asarray(ref[k], np.float32)), k
+
+
+def test_parallel_device_get_never_plain_fetches_medium_leaf_trees():
+    """Liveness regression guard for the round-5 durability-drill bug: a
+    tree whose leaves are ALL below the chunking threshold (the ViT layout
+    — ~300 sub-64 MB leaves) must still fetch leaf-by-leaf through the
+    thread pool, never as one whole-tree jax.device_get — the plain path
+    measurably BLOCKS concurrently dispatched device work for its whole
+    duration (45.4 s on 1.33 GB; scripts/profile_ckpt_flush.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from video_spike_tpu.train import checkpoint as ck
+
+    tree = {f"leaf{i}": jnp.full((64, 32), float(i)) for i in range(12)}
+
+    calls = []
+    real = jax.device_get
+
+    def spy(x):
+        calls.append(len(jax.tree.leaves(x)))
+        return real(x)
+
+    orig = ck.jax.device_get
+    ck.jax.device_get = spy
+    try:
+        got = ck.parallel_device_get(tree, chunk_bytes=32 << 20)
+    finally:
+        ck.jax.device_get = orig
+    assert max(calls) == 1, calls  # per-leaf fetches, no whole-tree call
+    for i in range(12):
+        np.testing.assert_array_equal(np.asarray(got[f"leaf{i}"]),
+                                      np.full((64, 32), float(i)))
